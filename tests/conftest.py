@@ -1,0 +1,17 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax is first imported anywhere (SURVEY.md §4:
+``xla_force_host_platform_device_count`` lets multi-chip sharding tests run
+without TPU hardware).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# keep tests deterministic and quiet
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
