@@ -1,0 +1,219 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from asr_study_tpu.data import (
+    BRSD,
+    CSLU,
+    DatasetGenerator,
+    Dummy,
+    LapsBM,
+    Sid,
+    VoxForge,
+    read_h5,
+)
+from asr_study_tpu.features.audio import MFCC
+from asr_study_tpu.features.wav import write_wav
+from asr_study_tpu.text import CharParser
+
+
+def _wav(path, dur=0.2, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    sig = 0.1 * rng.standard_normal(int(sr * dur)).astype(np.float32)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_wav(path, sig, sr)
+
+
+# -- corpus layouts ----------------------------------------------------------
+
+def test_lapsbm_layout(tmp_path):
+    root = tmp_path / "laps"
+    for spk in ("LapsBM-F004", "LapsBM-M001"):
+        for i in range(2):
+            _wav(str(root / spk / f"LapsBM_{i:04d}.wav"), seed=i)
+            (root / spk / f"LapsBM_{i:04d}.txt").write_text(f"frase número {i}")
+    utts = list(LapsBM(str(root))._iter())
+    assert len(utts) == 4
+    assert {u["speaker"] for u in utts} == {"LapsBM-F004", "LapsBM-M001"}
+    assert all(u["split"] == "test" for u in utts)
+
+
+def test_voxforge_layout(tmp_path):
+    root = tmp_path / "vf"
+    sub = root / "anon-20120401-abc"
+    (sub / "etc").mkdir(parents=True)
+    (sub / "etc" / "PROMPTS").write_text(
+        "pt-br/anon-20120401-abc/mfc/pt001 ola mundo\npt002 tudo bem\nmissing xx\n"
+    )
+    _wav(str(sub / "wav" / "pt001.wav"))
+    _wav(str(sub / "wav" / "pt002.wav"), seed=1)
+    utts = list(VoxForge(str(root))._iter())
+    assert len(utts) == 2
+    assert utts[0]["label"] == "ola mundo"
+    assert utts[0]["speaker"] == "anon"
+
+
+def test_sid_layout(tmp_path):
+    root = tmp_path / "sid"
+    spk = root / "Spkr001"
+    spk.mkdir(parents=True)
+    (spk / "prompts.txt").write_text("1=bom dia\n2= boa tarde\n")
+    _wav(str(spk / "F001.wav"))
+    _wav(str(spk / "F002.wav"), seed=1)
+    _wav(str(spk / "F003.wav"), seed=2)  # no prompt -> skipped
+    utts = list(Sid(str(root))._iter())
+    assert len(utts) == 2
+    assert utts[0]["label"] == "bom dia"
+
+
+def test_cslu_layout(tmp_path):
+    root = tmp_path / "cslu"
+    _wav(str(root / "speech" / "00" / "spk1" / "a.wav"))
+    t = root / "trans" / "00" / "spk1"
+    t.mkdir(parents=True)
+    (t / "a.txt").write_text("alô")
+    utts = list(CSLU(str(root))._iter())
+    assert len(utts) == 1
+    assert utts[0]["label"] == "alô"
+
+
+def test_brsd_combination(tmp_path):
+    root = tmp_path / "brsd"
+    # lapsbm part
+    _wav(str(root / "lapsbm" / "LapsBM-F001" / "u0.wav"))
+    (root / "lapsbm" / "LapsBM-F001" / "u0.txt").write_text("teste laps")
+    # voxforge part
+    sub = root / "voxforge" / "spk-1"
+    (sub / "etc").mkdir(parents=True)
+    (sub / "etc" / "PROMPTS").write_text("x1 fala brasil\n")
+    _wav(str(sub / "wav" / "x1.wav"))
+    utts = list(BRSD(str(root))._iter())
+    splits = {u["split"] for u in utts}
+    assert len(utts) == 2
+    assert "test" in splits  # lapsbm
+    assert splits - {"test"} <= {"train", "valid"}
+
+
+def test_dummy_generates(tmp_path):
+    d = Dummy(str(tmp_path / "dummy"), n=10)
+    utts = list(d.iter_utterances())
+    assert len(utts) == 10
+    assert all(os.path.exists(u["audio"]) for u in utts)
+    assert all(u["duration"] > 0 for u in utts)
+    assert {u["split"] for u in utts} == {"train", "valid", "test"}
+    # deterministic: re-iterating uses the same files
+    utts2 = list(d.iter_utterances())
+    assert [u["audio"] for u in utts] == [u["audio"] for u in utts2]
+
+
+# -- serialization -----------------------------------------------------------
+
+def test_to_json(tmp_path):
+    d = Dummy(str(tmp_path / "dummy"), n=5)
+    manifest = str(tmp_path / "m.jsonl")
+    n = d.to_json(manifest)
+    assert n == 5
+    rows = [json.loads(l) for l in open(manifest)]
+    assert all("audio" in r and "label" in r for r in rows)
+
+
+def test_to_h5_roundtrip(tmp_path):
+    d = Dummy(str(tmp_path / "dummy"), n=10)
+    h5 = str(tmp_path / "data.h5")
+    parser = CharParser()
+    mfcc = MFCC(d=False, dd=False)
+    counts = d.to_h5(h5, mfcc, parser)
+    assert sum(counts.values()) == 10
+    inputs, labels, texts, durs = read_h5(h5, "train")
+    assert len(inputs) == counts["train"]
+    assert inputs[0].shape[1] == mfcc.num_feats
+    assert parser.imap(labels[0]) == texts[0]
+    # feature values roundtrip exactly
+    utt0 = sorted(
+        [u for u in d.iter_utterances() if u["split"] == "train"],
+        key=lambda u: u["audio"],
+    )[0]
+    np.testing.assert_array_equal(inputs[0], mfcc(utt0["audio"]))
+
+
+def test_h5_missing_split(tmp_path):
+    d = Dummy(str(tmp_path / "dummy"), n=5)
+    h5 = str(tmp_path / "data.h5")
+    d.to_h5(h5, MFCC(d=False, dd=False))
+    with pytest.raises(KeyError):
+        read_h5(h5, "nope")
+
+
+# -- generator ---------------------------------------------------------------
+
+def _fake_rows(n=37, fdim=13, seed=0):
+    rng = np.random.default_rng(seed)
+    inputs = [
+        rng.standard_normal((int(t), fdim)).astype(np.float32)
+        for t in rng.integers(50, 400, size=n)
+    ]
+    labels = [
+        rng.integers(0, 27, size=int(l)).astype(np.int32)
+        for l in rng.integers(3, 30, size=n)
+    ]
+    return inputs, labels
+
+
+def test_generator_shapes_static():
+    inputs, labels = _fake_rows()
+    gen = DatasetGenerator(batch_size=8, time_multiple=64, label_multiple=16)
+    it = gen.flow(inputs, labels)
+    batches = list(it.epoch(seed=0))
+    assert len(batches) == it.steps_per_epoch == 5
+    for b in batches:
+        assert b.inputs.shape[0] == 8
+        assert b.inputs.shape[1] % 64 == 0
+        assert b.labels.shape[1] % 16 == 0
+        assert b.inputs.dtype == np.float32
+        assert b.labels.dtype == np.int32
+
+
+def test_generator_masking_and_padding():
+    inputs, labels = _fake_rows(n=10)
+    gen = DatasetGenerator(batch_size=8)
+    batches = sorted(gen.flow(inputs, labels).epoch(0), key=lambda b: -b.weights.sum())
+    full, ragged = batches
+    assert full.weights.sum() == 8
+    assert ragged.weights.sum() == 2
+    # padded rows are still valid CTC problems
+    assert (ragged.input_lengths > 0).all()
+    assert (ragged.label_lengths >= 1).all()
+    assert (ragged.input_lengths >= ragged.label_lengths).all()
+    # real rows preserve their data
+    j = int(np.argmax(full.weights))
+    i = int(full.uids[j])
+    t = inputs[i].shape[0]
+    np.testing.assert_array_equal(full.inputs[j, :t], inputs[i])
+    assert full.input_lengths[j] == t
+
+
+def test_generator_bucketing_reduces_padding_waste():
+    inputs, labels = _fake_rows(n=64)
+
+    def padded_frames(sort):
+        gen = DatasetGenerator(batch_size=8, sort_by_duration=sort, shuffle=False)
+        return sum(b.inputs.shape[1] * b.size for b in gen.flow(inputs, labels).epoch())
+
+    # duration sorting packs similar lengths together -> less padded compute
+    assert padded_frames(True) < padded_frames(False)
+
+
+def test_generator_epoch_shuffles_batch_order():
+    inputs, labels = _fake_rows(n=64)
+    it = DatasetGenerator(batch_size=8).flow(inputs, labels)
+    e1 = [b.uids.tolist() for b in it.epoch(seed=1)]
+    e2 = [b.uids.tolist() for b in it.epoch(seed=2)]
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))  # same buckets
+    assert e1 != e2  # different order
+
+
+def test_generator_empty_raises():
+    with pytest.raises(ValueError):
+        DatasetGenerator().flow([], [])
