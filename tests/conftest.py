@@ -15,3 +15,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # keep tests deterministic and quiet
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+# persistent compilation cache: scan-heavy tests are compile-dominated
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
