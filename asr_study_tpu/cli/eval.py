@@ -1,0 +1,138 @@
+"""Evaluation CLI [ref: eval.py]: checkpoint -> decode split -> CER/LER/WER.
+
+Example::
+
+    python eval.py --dataset data.h5 --save runs/exp1 --split test \
+        --beam_width 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+from asr_study_tpu.data.generator import DatasetGenerator
+from asr_study_tpu.models.zoo import build_model
+from asr_study_tpu.ops import beam_search_decode, greedy_decode
+from asr_study_tpu.ops.ctc import ctc_loss_mean
+from asr_study_tpu.ops.metrics import cer, wer
+from asr_study_tpu.text.parser import CharParser
+from asr_study_tpu.train.checkpoint import CheckpointManager
+from asr_study_tpu.train.trainer import Trainer, make_optimizer
+
+
+def load_run(save_dir: str, label_parser: CharParser, best: bool = True):
+    """Rebuild (model, state) from a training run dir's meta + checkpoint."""
+    meta_path = os.path.join(save_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    hp = meta.get("hparams", {})
+    model = build_model(
+        hp.get("model", "graves2006"), hp.get("params"),
+        num_classes=hp.get("num_classes", label_parser.num_classes),
+    )
+    tx = make_optimizer(
+        hp.get("opt", "adam"), hp.get("lr", 1e-3), hp.get("clipnorm", 400.0)
+    )
+    trainer = Trainer(model, tx)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), int(hp.get("num_feats", 39))
+    )
+    ckpt = CheckpointManager(save_dir)
+    try:
+        state = ckpt.restore(state, best=best)
+    except FileNotFoundError:
+        state = ckpt.restore(state, best=False)
+    ckpt.close()
+    return model, state, hp
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate a trained model")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--save", required=True, help="training run directory")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--beam_width", type=int, default=0,
+                   help="0 = greedy decode, >0 = prefix beam search")
+    p.add_argument("--best", action="store_true",
+                   help="use best (val_loss) checkpoint instead of latest")
+    p.add_argument("--dump", default=None,
+                   help="write per-utterance transcripts to this file")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu|tpu); default = env")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    from asr_study_tpu.utils.platform import (
+        select_platform, setup_compilation_cache,
+    )
+
+    select_platform(args.platform)
+    setup_compilation_cache()
+    label_parser = CharParser()
+    model, state, _ = load_run(args.save, label_parser, best=args.best)
+
+    gen = DatasetGenerator(batch_size=args.batch_size, shuffle=False)
+    it = gen.flow_from_h5(args.dataset, args.split)
+
+    @jax.jit
+    def forward(params, inputs, input_lengths):
+        return model.apply(params, inputs, input_lengths, train=False)
+
+    hyps, refs = [], []
+    tot_loss, tot_n = 0.0, 0
+    for b in it.epoch():
+        logits = forward(state.params, b.inputs, b.input_lengths)
+        loss = ctc_loss_mean(
+            logits, b.input_lengths, b.labels, b.label_lengths,
+            blank_id=model.blank_id, weights=b.weights,
+        )
+        n = int(b.weights.sum())
+        tot_loss += float(loss) * n
+        tot_n += n
+        if args.beam_width > 0:
+            dec, lens, _ = beam_search_decode(
+                logits, b.input_lengths, beam_width=args.beam_width,
+                blank_id=model.blank_id,
+            )
+            dec, lens = dec[:, 0], lens[:, 0]
+        else:
+            dec, lens = greedy_decode(
+                logits, b.input_lengths, blank_id=model.blank_id
+            )
+        dec, lens = np.asarray(dec), np.asarray(lens)
+        for i in range(b.size):
+            if b.weights[i] == 0:
+                continue
+            hyps.append(label_parser.imap(dec[i, : lens[i]]))
+            refs.append(
+                b.texts[i] if b.texts
+                else label_parser.imap(b.labels[i, : b.label_lengths[i]])
+            )
+
+    results = {
+        "split": args.split,
+        "num_utts": tot_n,
+        "loss": tot_loss / max(tot_n, 1),
+        "cer": cer(hyps, refs),
+        "wer": wer(hyps, refs),
+        "decoder": f"beam{args.beam_width}" if args.beam_width else "greedy",
+    }
+    if args.dump:
+        with open(args.dump, "w") as f:
+            for h, r in zip(hyps, refs):
+                f.write(json.dumps({"hyp": h, "ref": r}) + "\n")
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,47 @@
+"""Dataset build CLI [ref: extras/make_dataset.py]: corpus dir -> HDF5.
+
+Example::
+
+    python make_dataset.py --parser lapsbm --dataset_dir /data/lapsbm \
+        --output lapsbm.h5 --input_parser mfcc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from asr_study_tpu.text.parser import CharParser
+from asr_study_tpu.utils.registry import get_from_module
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Build an HDF5 dataset")
+    p.add_argument("--parser", required=True,
+                   help="corpus name (lapsbm|voxforge|sid|cslu|brsd|dummy)")
+    p.add_argument("--dataset_dir", required=True)
+    p.add_argument("--output", required=True, help="output .h5 path")
+    p.add_argument("--input_parser", default="mfcc")
+    p.add_argument("--input_params", default=None,
+                   help='feature kwargs as JSON, e.g. \'{"d": true, "dd": true}\'')
+    p.add_argument("--to_json", default=None,
+                   help="also write a JSON manifest to this path")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    corpus = get_from_module("corpus", args.parser)(args.dataset_dir)
+    feat_kw = json.loads(args.input_params) if args.input_params else {}
+    input_parser = get_from_module("feature", args.input_parser)(**feat_kw)
+    label_parser = CharParser()
+    if args.to_json:
+        n = corpus.to_json(args.to_json)
+        print(f"wrote {n} utterances to {args.to_json}")
+    counts = corpus.to_h5(args.output, input_parser, label_parser)
+    print(f"wrote {counts} utterances to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,104 @@
+"""Training CLI [ref: train.py].
+
+Example::
+
+    python train.py --dataset data.h5 --model graves2006 \
+        --params "num_hiddens=128,num_layers=2" --epochs 20 --save runs/exp1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from asr_study_tpu.data.dataset_parser import read_h5
+from asr_study_tpu.data.generator import DatasetGenerator
+from asr_study_tpu.models.zoo import build_model
+from asr_study_tpu.text.parser import CharParser
+from asr_study_tpu.train.checkpoint import CheckpointManager
+from asr_study_tpu.train.loop import fit
+from asr_study_tpu.train.trainer import Trainer, make_mesh, make_optimizer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a CTC acoustic model")
+    p.add_argument("--dataset", required=True, help="HDF5 dataset path")
+    p.add_argument("--model", default="graves2006")
+    p.add_argument("--params", default=None,
+                   help='hparam overrides, e.g. "num_hiddens=256,num_layers=3"')
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--opt", default="adam")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--clipnorm", type=float, default=400.0)
+    p.add_argument("--save", default="runs/default", help="checkpoint/log dir")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --save")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="data-parallel devices (0 = all available)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of early steps")
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu|tpu); default = env")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    from asr_study_tpu.utils.platform import (
+        select_platform, setup_compilation_cache,
+    )
+
+    select_platform(args.platform)
+    setup_compilation_cache()
+    label_parser = CharParser()
+    model = build_model(
+        args.model, args.params, num_classes=label_parser.num_classes
+    )
+
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if args.batch_size % n_dev:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} not divisible by {n_dev} devices"
+        )
+
+    gen = DatasetGenerator(batch_size=args.batch_size)
+    train_it = gen.flow_from_h5(args.dataset, "train")
+    try:
+        valid_it = gen.flow_from_h5(args.dataset, "valid")
+    except KeyError:
+        valid_it = None
+
+    tx = make_optimizer(args.opt, args.lr, args.clipnorm)
+    trainer = Trainer(model, tx, mesh=mesh)
+    state = trainer.init_state(
+        jax.random.PRNGKey(args.seed), train_it.num_feats
+    )
+    ckpt = CheckpointManager(args.save)
+    if args.resume and ckpt.latest_step is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    hparams = {
+        "model": args.model, "params": args.params,
+        "batch_size": args.batch_size, "opt": args.opt, "lr": args.lr,
+        "clipnorm": args.clipnorm, "num_devices": n_dev,
+        "num_feats": train_it.num_feats,
+        "num_classes": label_parser.num_classes,
+    }
+    fit(
+        trainer, state, train_it, valid_it,
+        epochs=args.epochs, seed=args.seed, ckpt=ckpt, hparams=hparams,
+        log_dir=args.save, log_every=args.log_every, profile=args.profile,
+    )
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

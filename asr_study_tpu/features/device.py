@@ -1,0 +1,211 @@
+"""On-device (JAX/XLA) feature extraction: batched wav -> MFCC/log-fbank.
+
+The TPU counterpart of the NumPy oracle in audio.py (which is the spec —
+golden parity tests compare the two).  Design notes (pallas_guide / MXU):
+
+- The rFFT is a **matmul-DFT**: frames [B*T, frame_len] times fixed cos/sin
+  matrices [frame_len, nfft//2+1].  For 25 ms frames that is a 400x257
+  matmul per frame — MXU-shaped work, fused by XLA with the windowing and
+  the mel/DCT matmuls that follow.  An FFT would be O(N log N) on the VPU;
+  the O(N^2) MXU matmul is faster here and exact.
+- Everything is batched and static-shaped: one compiled program per padded
+  bucket, variable lengths handled by masking (frames beyond a wav's
+  ``num_frames`` are garbage but masked by the returned feat_lengths).
+- Deltas use per-utterance edge replication via clipped gathers, matching
+  the oracle's ``np.pad(mode='edge')`` exactly even inside padded batches.
+- All parity-critical matmuls run at ``precision='highest'`` (f32 on MXU);
+  bf16 would break the bit-for-bit-within-tolerance target (BASELINE.md).
+
+[ref: preprocessing/audio.py] for the chain being mirrored.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_study_tpu.features import audio
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def device_num_frames(wav_lengths: jax.Array, frame_len: int,
+                      frame_step: int) -> jax.Array:
+    """Vector version of audio.num_frames (tail-padded framing)."""
+    extra = jnp.ceil(
+        (wav_lengths - frame_len).astype(jnp.float32) / frame_step
+    ).astype(jnp.int32)
+    return jnp.where(wav_lengths <= frame_len, 1, 1 + extra)
+
+
+def _dft_matrices(frame_len: int, nfft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases [frame_len, nfft//2+1] (zero-pad to nfft folded
+    in: rows beyond frame_len would be zero, so they are simply absent)."""
+    n = np.arange(frame_len)[:, None]
+    k = np.arange(nfft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / nfft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _delta_device(feat: jax.Array, lengths: jax.Array, n: int = 2) -> jax.Array:
+    """Regression delta with per-utterance edge replication.
+
+    feat [B, T, F], lengths [B] -> [B, T, F]; matches audio.delta row-for-row
+    on each utterance's first ``lengths[b]`` frames.
+    """
+    t_max = feat.shape[1]
+    denom = 2.0 * sum(i * i for i in range(1, n + 1))
+    t_idx = jnp.arange(t_max)[None, :]
+    out = jnp.zeros_like(feat)
+    for k in range(-n, n + 1):
+        if k == 0:
+            continue
+        idx = jnp.clip(t_idx + k, 0, jnp.maximum(lengths - 1, 0)[:, None])
+        out = out + k * jnp.take_along_axis(feat, idx[..., None], axis=1)
+    return out / denom
+
+
+class DeviceFeaturizer:
+    """Batched on-device feature extractor.
+
+    ``kind``: 'fbank' | 'logfbank' | 'mfcc'.  Parameters mirror the NumPy
+    classes (audio.FBank/LogFbank/MFCC).  Call with a padded wav batch::
+
+        feats, feat_lengths = featurizer(wavs [B, N], wav_lengths [B])
+
+    The call is jitted per (B, N) shape; pad N to a few static buckets.
+    """
+
+    def __init__(
+        self,
+        kind: str = "mfcc",
+        fs: int = 16000,
+        win_len: float = 0.025,
+        win_step: float = 0.01,
+        nfilt: int = 40,
+        nfft: int = 512,
+        low_freq: float = 0.0,
+        high_freq: Optional[float] = None,
+        preemph: float = 0.97,
+        htk: bool = True,
+        num_cep: int = 13,
+        cep_lifter: int = 22,
+        append_energy: bool = True,
+        d: bool = True,
+        dd: bool = True,
+        dtype=jnp.float32,
+    ):
+        if kind not in ("fbank", "logfbank", "mfcc"):
+            raise ValueError(f"unknown device feature kind {kind!r}")
+        self.kind = kind
+        self.fs = fs
+        self.frame_len = int(round(win_len * fs))
+        self.frame_step = int(round(win_step * fs))
+        self.nfilt = nfilt
+        self.nfft = nfft
+        self.preemph = preemph
+        self.num_cep = num_cep
+        self.cep_lifter = cep_lifter
+        self.append_energy = append_energy
+        self.d = d
+        self.dd = dd
+        self.dtype = dtype
+
+        # fixed operator tables (host-precomputed in float64, cast f32)
+        cos_m, sin_m = _dft_matrices(self.frame_len, nfft)
+        self._cos = jnp.asarray(cos_m, dtype)
+        self._sin = jnp.asarray(sin_m, dtype)
+        self._window = jnp.asarray(np.hamming(self.frame_len), dtype)
+        self._fbank = jnp.asarray(
+            audio.mel_filterbank(nfilt, nfft, fs, low_freq, high_freq, htk).T,
+            dtype,
+        )  # [nbins, nfilt]
+        self._dct = jnp.asarray(
+            audio.dct2_ortho_matrix(nfilt, num_cep).T, dtype
+        )  # [nfilt, num_cep]
+        lift = 1.0 + (cep_lifter / 2.0) * np.sin(
+            np.pi * np.arange(num_cep) / cep_lifter
+        ) if cep_lifter > 0 else np.ones(num_cep)
+        self._lift = jnp.asarray(lift, dtype)
+        self._call = jax.jit(self._transform)
+
+    @property
+    def num_feats(self) -> int:
+        if self.kind == "fbank":
+            return self.nfilt
+        if self.kind == "logfbank":
+            return self.nfilt * (1 + int(self.d) + int(self.dd))
+        return self.num_cep * (1 + int(self.d) + int(self.dd))
+
+    # -- core (jitted) ----------------------------------------------------
+    def _transform(self, wavs: jax.Array, wav_lengths: jax.Array):
+        batch, n_samples = wavs.shape
+        wavs = wavs.astype(self.dtype)
+        wav_lengths = wav_lengths.astype(jnp.int32)
+
+        # pre-emphasis, then zero beyond each wav's true length so padded
+        # tails match the oracle (which pads zeros AFTER pre-emphasis)
+        pre = jnp.concatenate(
+            [wavs[:, :1], wavs[:, 1:] - self.preemph * wavs[:, :-1]], axis=1
+        )
+        pre = jnp.where(
+            jnp.arange(n_samples)[None, :] < wav_lengths[:, None], pre, 0.0
+        )
+
+        t_out = int(audio.num_frames(n_samples, self.frame_len, self.frame_step))
+        pad_len = (t_out - 1) * self.frame_step + self.frame_len
+        if pad_len > n_samples:
+            pre = jnp.pad(pre, ((0, 0), (0, pad_len - n_samples)))
+        idx = (
+            jnp.arange(t_out)[:, None] * self.frame_step
+            + jnp.arange(self.frame_len)[None, :]
+        )
+        frames = pre[:, idx] * self._window                  # [B, T, L]
+
+        # matmul-DFT power spectrum (MXU)
+        re = jnp.einsum("btl,lk->btk", frames, self._cos, precision=_PREC)
+        im = jnp.einsum("btl,lk->btk", frames, self._sin, precision=_PREC)
+        pspec = (re * re + im * im) / self.nfft              # [B, T, K]
+
+        energy = jnp.sum(pspec, axis=-1)
+        energy = jnp.maximum(energy, jnp.finfo(jnp.float32).eps)
+        feat = jnp.einsum("btk,kf->btf", pspec, self._fbank, precision=_PREC)
+        feat = jnp.maximum(feat, jnp.finfo(jnp.float32).eps)
+
+        feat_lengths = device_num_frames(
+            wav_lengths, self.frame_len, self.frame_step
+        )
+        if self.kind == "fbank":
+            return feat, feat_lengths
+
+        logfeat = jnp.log(feat)
+        if self.kind == "mfcc":
+            cep = jnp.einsum(
+                "btf,fc->btc", logfeat, self._dct, precision=_PREC
+            )
+            cep = cep * self._lift
+            if self.append_energy:
+                cep = cep.at[:, :, 0].set(jnp.log(energy))
+            base = cep
+        else:  # logfbank
+            base = logfeat
+
+        outs = [base]
+        if self.d:
+            outs.append(_delta_device(outs[-1], feat_lengths))
+        if self.dd:
+            outs.append(_delta_device(outs[-1], feat_lengths))
+        out = jnp.concatenate(outs, axis=-1)
+        # zero frames beyond each utterance's frame count
+        mask = (
+            jnp.arange(t_out)[None, :] < feat_lengths[:, None]
+        ).astype(out.dtype)[..., None]
+        return out * mask, feat_lengths
+
+    def __call__(self, wavs, wav_lengths):
+        return self._call(jnp.asarray(wavs), jnp.asarray(wav_lengths))

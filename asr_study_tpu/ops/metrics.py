@@ -1,0 +1,92 @@
+"""Error-rate metrics: jitted Levenshtein distance, LER/CER, host WER.
+
+Replaces the reference's ``tf.edit_distance``-based ``ler`` metric
+[ref: core/metrics.py] with an on-device DP.  The classic row recurrence
+``new[j] = min(row[j]+1, new[j-1]+1, row[j-1]+cost)`` has a sequential
+dependency on ``new[j-1]``; substituting ``m'[j] = new[j] - j`` turns it
+into a running minimum (``m'[j] = min(cand[j]-j, m'[j-1])``), so each row
+becomes one vectorized cummin — the scan is only over hypothesis tokens.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _edit_distance_single(hyp, hyp_len, ref, ref_len):
+    """Levenshtein distance between hyp[:hyp_len] and ref[:ref_len]."""
+    r_max = ref.shape[0]
+    row0 = jnp.arange(r_max + 1, dtype=jnp.int32)
+    j_idx = jnp.arange(r_max + 1, dtype=jnp.int32)
+
+    def step(row, inp):
+        h_tok, i = inp
+        sub = jnp.where(ref == h_tok, 0, 1).astype(jnp.int32)    # [R]
+        cand = jnp.minimum(row[1:] + 1, row[:-1] + sub)          # [R]
+        cand = jnp.concatenate([(i + 1)[None], cand])            # [R+1]
+        new_row = jax.lax.cummin(cand - j_idx) + j_idx
+        row = jnp.where(i < hyp_len, new_row, row)
+        return row, None
+
+    h_max = hyp.shape[0]
+    row, _ = jax.lax.scan(
+        step, row0, (hyp.astype(jnp.int32), jnp.arange(h_max, dtype=jnp.int32))
+    )
+    return row[ref_len]
+
+
+def edit_distance(hyp, hyp_lengths, ref, ref_lengths) -> jax.Array:
+    """Batched Levenshtein distance.
+
+    hyp [B, H], ref [B, R] (padding beyond the lengths is ignored as long as
+    pad values differ between hyp and ref — use -1 for hyp pads, -2 for ref
+    pads, or any ids outside the vocab).  Returns int32 [B].
+    """
+    return jax.vmap(_edit_distance_single)(
+        hyp, hyp_lengths.astype(jnp.int32), ref, ref_lengths.astype(jnp.int32)
+    )
+
+
+def ler(hyp, hyp_lengths, ref, ref_lengths) -> jax.Array:
+    """Label error rate: edit distance normalized by reference length
+    [ref: core/metrics.py::ler].  Returns float32 [B]."""
+    dist = edit_distance(hyp, hyp_lengths, ref, ref_lengths)
+    return dist.astype(jnp.float32) / jnp.maximum(
+        ref_lengths.astype(jnp.float32), 1.0
+    )
+
+
+def _levenshtein_py(a: Sequence, b: Sequence) -> int:
+    """Host-side Levenshtein for WER (word tokens)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a):
+        cur = [i + 1]
+        for j, y in enumerate(b):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def wer(hyps: List[str], refs: List[str]) -> float:
+    """Corpus word error rate over decoded transcripts [ref: eval.py]."""
+    errs = tot = 0
+    for h, r in zip(hyps, refs):
+        rw = r.split()
+        errs += _levenshtein_py(h.split(), rw)
+        tot += len(rw)
+    return errs / max(tot, 1)
+
+
+def cer(hyps: List[str], refs: List[str]) -> float:
+    """Corpus character error rate over decoded transcripts."""
+    errs = tot = 0
+    for h, r in zip(hyps, refs):
+        errs += _levenshtein_py(list(h), list(r))
+        tot += len(r)
+    return errs / max(tot, 1)

@@ -1,0 +1,94 @@
+"""The training loop: epochs over length-bucketed batches, periodic eval,
+checkpointing, logging, optional profiling.
+
+Replaces the reference's ``model.fit_generator(...)`` orchestration
+[ref: train.py] with an explicit loop around the jitted ``Trainer`` steps.
+Host work per step is only the numpy batch hand-off; everything else is one
+device dispatch (SURVEY.md §3.1 hot-loop analysis).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from asr_study_tpu.train.checkpoint import CheckpointManager
+from asr_study_tpu.train.trainer import Trainer, TrainState
+from asr_study_tpu.utils.metrics_writer import MetricWriter
+
+
+def fit(
+    trainer: Trainer,
+    state: TrainState,
+    train_iter,                      # DatasetIterator
+    valid_iter=None,
+    epochs: int = 10,
+    seed: int = 0,
+    ckpt: Optional[CheckpointManager] = None,
+    hparams: Optional[Dict[str, Any]] = None,
+    log_dir: Optional[str] = None,
+    log_every: int = 10,
+    profile: bool = False,
+    profile_steps: tuple = (10, 20),
+) -> TrainState:
+    """Run ``epochs`` epochs; returns the final state.
+
+    ``profile=True`` captures a jax.profiler trace (Perfetto/XProf-readable)
+    of steps [profile_steps) into ``<log_dir>/trace`` — the tracing hook the
+    reference never had (SURVEY.md §5.1).
+    """
+    writer = MetricWriter(log_dir, "train")
+    rng = jax.random.PRNGKey(seed)
+    step = int(state.step)
+    t_last = time.time()
+    for epoch in range(epochs):
+        ep_loss, ep_n = 0.0, 0
+        for batch in train_iter.epoch(seed=seed + epoch):
+            if profile and log_dir and step == profile_steps[0]:
+                jax.profiler.start_trace(f"{log_dir}/trace")
+            state, metrics = trainer.train_step(
+                state, batch.inputs, batch.input_lengths, batch.labels,
+                batch.label_lengths, batch.weights, rng,
+            )
+            step += 1
+            if profile and log_dir and step == profile_steps[1]:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+            loss = float(metrics["loss"])
+            ep_loss += loss * batch.size
+            ep_n += batch.size
+            if step % log_every == 0:
+                now = time.time()
+                writer.write(
+                    step,
+                    {
+                        "epoch": epoch,
+                        "loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "steps_per_s": log_every / max(now - t_last, 1e-9),
+                    },
+                    echo=True,
+                )
+                t_last = now
+
+        scalars: Dict[str, float] = {
+            "epoch": epoch, "train_loss": ep_loss / max(ep_n, 1)
+        }
+        if valid_iter is not None:
+            val = trainer.run_eval(state, valid_iter.epoch())
+            scalars["val_loss"] = val["loss"]
+            scalars["val_ler"] = val["ler"]
+        writer.write(step, scalars, echo=True)
+        if ckpt is not None:
+            ckpt.save(
+                state,
+                metrics={k: v for k, v in scalars.items() if k != "epoch"},
+                hparams=hparams,
+            )
+    if ckpt is not None:
+        ckpt.wait()
+    writer.close()
+    return state

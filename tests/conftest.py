@@ -13,6 +13,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize imports jax at interpreter startup (with
+# JAX_PLATFORMS=axon pinning the remote-TPU tunnel), so the env vars above
+# are captured too late; override the already-imported config directly.
+# Backends are created lazily, so this still lands before any client init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # keep tests deterministic and quiet
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 # persistent compilation cache: scan-heavy tests are compile-dominated

@@ -1,0 +1,249 @@
+"""CTC loss / decoders / metrics vs. independent oracles (SURVEY.md §4:
+loss vs. slow NumPy forward-backward + optax; decoder vs. brute force)."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from asr_study_tpu.ops import (
+    beam_search_decode,
+    ctc_loss,
+    edit_distance,
+    greedy_decode,
+    ler,
+    wer,
+)
+from asr_study_tpu.ops.metrics import _levenshtein_py, cer
+
+
+def _rand_case(key, batch=3, t_max=12, vocab=5, l_max=4):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    logits = jax.random.normal(k1, (batch, t_max, vocab)) * 2.0
+    lengths = jax.random.randint(k2, (batch,), t_max // 2, t_max + 1)
+    label_lengths = jax.random.randint(k3, (batch,), 1, l_max + 1)
+    labels = jax.random.randint(k4, (batch, l_max), 0, vocab - 1)
+    return logits, lengths, labels, label_lengths
+
+
+def _brute_force_nll(log_probs, length, labels, blank):
+    """Sum probability of all length-`length` paths collapsing to `labels`."""
+    v = log_probs.shape[1]
+    total = -np.inf
+    for path in itertools.product(range(v), repeat=length):
+        # collapse repeats then drop blanks
+        collapsed = [k for k, _ in itertools.groupby(path) if k != blank]
+        if collapsed == list(labels):
+            lp = sum(log_probs[t, path[t]] for t in range(length))
+            total = np.logaddexp(total, lp)
+    return -total
+
+
+class TestCTCLoss:
+    def test_matches_optax(self):
+        logits, lengths, labels, label_lengths = _rand_case(
+            jax.random.PRNGKey(0)
+        )
+        ours = ctc_loss(logits, lengths, labels, label_lengths)
+        t_max, l_max = logits.shape[1], labels.shape[1]
+        logit_pad = (jnp.arange(t_max)[None] >= lengths[:, None]).astype(
+            jnp.float32
+        )
+        label_pad = (jnp.arange(l_max)[None] >= label_lengths[:, None]).astype(
+            jnp.float32
+        )
+        theirs = optax.ctc_loss(
+            logits, logit_pad, labels, label_pad,
+            blank_id=logits.shape[-1] - 1,
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-4)
+
+    def test_matches_brute_force(self):
+        key = jax.random.PRNGKey(1)
+        logits = jax.random.normal(key, (1, 6, 3))
+        lp = np.array(jax.nn.log_softmax(logits, axis=-1))[0]
+        labels = np.array([[0, 1]])
+        got = ctc_loss(
+            logits, jnp.array([6]), jnp.array(labels), jnp.array([2])
+        )[0]
+        want = _brute_force_nll(lp, 6, [0, 1], blank=2)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_repeated_labels(self):
+        key = jax.random.PRNGKey(2)
+        logits = jax.random.normal(key, (1, 8, 3))
+        lp = np.array(jax.nn.log_softmax(logits, axis=-1))[0]
+        got = ctc_loss(
+            logits, jnp.array([8]), jnp.array([[1, 1, 0]]), jnp.array([3])
+        )[0]
+        want = _brute_force_nll(lp, 8, [1, 1, 0], blank=2)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_infeasible_is_finite(self):
+        # 2L+1 > T with repeats: impossible alignment must stay finite.
+        logits = jnp.zeros((1, 3, 3))
+        loss = ctc_loss(
+            logits, jnp.array([3]), jnp.array([[1, 1, 1]]), jnp.array([3])
+        )
+        assert np.isfinite(float(loss[0]))
+
+    def test_grads_match_optax_and_finite(self):
+        logits, lengths, labels, label_lengths = _rand_case(
+            jax.random.PRNGKey(3)
+        )
+        g_ours = jax.grad(
+            lambda lg: jnp.sum(ctc_loss(lg, lengths, labels, label_lengths))
+        )(logits)
+        t_max, l_max = logits.shape[1], labels.shape[1]
+        logit_pad = (jnp.arange(t_max)[None] >= lengths[:, None]).astype(
+            jnp.float32
+        )
+        label_pad = (jnp.arange(l_max)[None] >= label_lengths[:, None]).astype(
+            jnp.float32
+        )
+        g_optax = jax.grad(
+            lambda lg: jnp.sum(
+                optax.ctc_loss(
+                    lg, logit_pad, labels, label_pad,
+                    blank_id=logits.shape[-1] - 1,
+                )
+            )
+        )(logits)
+        assert np.all(np.isfinite(np.array(g_ours)))
+        np.testing.assert_allclose(g_ours, g_optax, rtol=1e-3, atol=1e-4)
+
+    def test_jit_and_vmap_clean(self):
+        logits, lengths, labels, label_lengths = _rand_case(
+            jax.random.PRNGKey(4)
+        )
+        jitted = jax.jit(ctc_loss)
+        np.testing.assert_allclose(
+            jitted(logits, lengths, labels, label_lengths),
+            ctc_loss(logits, lengths, labels, label_lengths),
+            rtol=1e-6,
+        )
+
+
+class TestGreedyDecode:
+    def test_collapse_semantics(self):
+        # path a a b - b  -> "a b b"
+        blank = 2
+        ids = [0, 0, 1, 2, 1]
+        logits = jax.nn.one_hot(jnp.array([ids]), 3) * 10.0
+        dec, lens = greedy_decode(logits, jnp.array([5]), blank_id=blank)
+        assert int(lens[0]) == 3
+        assert dec[0, :3].tolist() == [0, 1, 1]
+        assert dec[0, 3:].tolist() == [-1, -1]
+
+    def test_respects_lengths(self):
+        blank = 2
+        ids = [0, 2, 1, 0, 0]
+        logits = jax.nn.one_hot(jnp.array([ids]), 3) * 10.0
+        dec, lens = greedy_decode(logits, jnp.array([3]), blank_id=blank)
+        assert int(lens[0]) == 2
+        assert dec[0, :2].tolist() == [0, 1]
+
+    def test_all_blank(self):
+        logits = jax.nn.one_hot(jnp.array([[2, 2, 2]]), 3) * 10.0
+        dec, lens = greedy_decode(logits, jnp.array([3]))
+        assert int(lens[0]) == 0
+        assert dec[0].tolist() == [-1, -1, -1]
+
+
+def _py_prefix_beam(log_probs, length, beam_width, blank):
+    """Dict-based reference prefix beam search (Hannun-style)."""
+    beams = {(): (0.0, -np.inf)}  # prefix -> (log p_blank, log p_nonblank)
+    for t in range(length):
+        lp = log_probs[t]
+        new = {}
+
+        def add(prefix, pb, pnb):
+            opb, opnb = new.get(prefix, (-np.inf, -np.inf))
+            new[prefix] = (np.logaddexp(opb, pb), np.logaddexp(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            ptot = np.logaddexp(pb, pnb)
+            add(prefix, ptot + lp[blank], -np.inf)          # stay via blank
+            if prefix:
+                add(prefix, -np.inf, pnb + lp[prefix[-1]])  # repeat last
+            for c in range(len(lp)):
+                if c == blank:
+                    continue
+                if prefix and c == prefix[-1]:
+                    add(prefix + (c,), -np.inf, pb + lp[c])
+                else:
+                    add(prefix + (c,), -np.inf, ptot + lp[c])
+        beams = dict(
+            sorted(
+                new.items(),
+                key=lambda kv: -np.logaddexp(*kv[1]),
+            )[:beam_width]
+        )
+    ranked = sorted(beams.items(), key=lambda kv: -np.logaddexp(*kv[1]))
+    return [
+        (list(p), float(np.logaddexp(*v))) for p, v in ranked
+    ]
+
+
+class TestBeamSearch:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_python_reference(self, seed):
+        key = jax.random.PRNGKey(seed)
+        t_max, vocab, width = 7, 4, 8
+        logits = jax.random.normal(key, (1, t_max, vocab)) * 1.5
+        lp = np.array(jax.nn.log_softmax(logits, axis=-1))[0]
+        want = _py_prefix_beam(lp, t_max, width, blank=vocab - 1)
+        dec, lens, scores = beam_search_decode(
+            logits, jnp.array([t_max]), beam_width=width, top_paths=3
+        )
+        for p in range(3):
+            got = dec[0, p, : int(lens[0, p])].tolist()
+            assert got == want[p][0]
+            np.testing.assert_allclose(
+                float(scores[0, p]), want[p][1], rtol=1e-4, atol=1e-4
+            )
+
+    def test_beats_or_matches_greedy(self):
+        key = jax.random.PRNGKey(7)
+        logits = jax.random.normal(key, (2, 10, 5))
+        lens_in = jnp.array([10, 6])
+        dec_b, len_b, score_b = beam_search_decode(
+            logits, lens_in, beam_width=8
+        )
+        # top-beam score must be >= the score of any single path family;
+        # sanity: decoding runs under jit and respects lengths
+        jitted = jax.jit(
+            lambda lg, ln: beam_search_decode(lg, ln, beam_width=8)
+        )
+        dec_j, len_j, score_j = jitted(logits, lens_in)
+        assert dec_j.shape == dec_b.shape
+        np.testing.assert_allclose(score_j, score_b, rtol=1e-5)
+
+
+class TestMetrics:
+    @pytest.mark.parametrize("seed", list(range(5)))
+    def test_edit_distance_random(self, seed):
+        rng = np.random.RandomState(seed)
+        h_len, r_len = rng.randint(0, 10), rng.randint(1, 10)
+        hyp = rng.randint(0, 4, size=10)
+        ref = rng.randint(0, 4, size=10)
+        want = _levenshtein_py(list(hyp[:h_len]), list(ref[:r_len]))
+        got = edit_distance(
+            jnp.array([hyp]), jnp.array([h_len]),
+            jnp.array([ref]), jnp.array([r_len]),
+        )
+        assert int(got[0]) == want
+
+    def test_ler_normalization(self):
+        hyp = jnp.array([[0, 1, 2]])
+        ref = jnp.array([[0, 1, 1, 2]])
+        out = ler(hyp, jnp.array([3]), ref, jnp.array([4]))
+        np.testing.assert_allclose(out, [0.25])
+
+    def test_wer_cer(self):
+        assert wer(["ola mundo"], ["ola mundo"]) == 0.0
+        assert wer(["ola mundo"], ["ola meu mundo"]) == pytest.approx(1 / 3)
+        assert cer(["abc"], ["abd"]) == pytest.approx(1 / 3)

@@ -1,0 +1,85 @@
+"""On-device feature pipeline vs. the NumPy oracle (golden parity,
+BASELINE config 1 / SURVEY.md §7 hard-part 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_study_tpu.features import audio
+from asr_study_tpu.features.device import DeviceFeaturizer, device_num_frames
+
+
+def _rand_wavs(seed=0, batch=3, n=7000):
+    rng = np.random.RandomState(seed)
+    lengths = np.array([n, int(n * 0.71), int(n * 0.43)][:batch])
+    wavs = np.zeros((batch, n), np.float32)
+    for i, l in enumerate(lengths):
+        t = np.arange(l) / 16000.0
+        wavs[i, :l] = (
+            0.5 * np.sin(2 * np.pi * 220 * (i + 1) * t)
+            + 0.05 * rng.randn(l)
+        ).astype(np.float32)
+    return wavs, lengths.astype(np.int32)
+
+
+class TestDeviceNumFrames:
+    def test_matches_oracle(self):
+        for ln in [1, 100, 400, 401, 560, 561, 7000]:
+            got = int(device_num_frames(jnp.array([ln]), 400, 160)[0])
+            assert got == audio.num_frames(ln, 400, 160), ln
+
+
+@pytest.mark.parametrize(
+    "kind,np_cls,kw",
+    [
+        ("fbank", audio.FBank, {}),
+        ("logfbank", audio.LogFbank, {"d": True, "dd": True}),
+        ("mfcc", audio.MFCC, {}),                      # default d/dd/energy
+        ("mfcc", audio.MFCC, {"append_energy": False, "d": False, "dd": False}),
+    ],
+)
+def test_device_matches_numpy_oracle(kind, np_cls, kw):
+    wavs, lengths = _rand_wavs()
+    dev = DeviceFeaturizer(kind=kind, **kw)
+    feats, feat_lengths = dev(wavs, lengths)
+    feats = np.asarray(feats)
+    assert dev.num_feats == np_cls(**kw).num_feats
+    for i in range(wavs.shape[0]):
+        want = np_cls(**kw)(wavs[i, : lengths[i]])
+        nf = int(feat_lengths[i])
+        assert nf == want.shape[0]
+        got = feats[i, :nf]
+        # f32 matmul-DFT vs f64 FFT oracle: linear-domain parity is
+        # eps-level (see fbank case), but log/DCT amplify absolute error
+        # on near-silent mel channels (log of ~1e-7 energies) — hence the
+        # looser atol there plus a tight median guard.
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.15)
+        assert np.median(np.abs(got - want)) < 1e-3
+
+
+def test_padding_invariance():
+    """Extra zero padding in the batch buffer must not change features."""
+    wavs, lengths = _rand_wavs(batch=1, n=4000)
+    dev = DeviceFeaturizer(kind="mfcc")
+    f1, l1 = dev(wavs, lengths)
+    wavs_padded = np.concatenate(
+        [wavs, np.zeros((1, 2000), np.float32)], axis=1
+    )
+    f2, l2 = dev(wavs_padded, lengths)
+    assert int(l1[0]) == int(l2[0])
+    # differences are pure XLA reduction-order noise (different static
+    # shapes fuse differently); observed max ~1e-4
+    np.testing.assert_allclose(
+        np.asarray(f1)[0, : int(l1[0])],
+        np.asarray(f2)[0, : int(l2[0])],
+        rtol=1e-4, atol=5e-4,
+    )
+
+
+def test_masked_tail_is_zero():
+    wavs, lengths = _rand_wavs()
+    dev = DeviceFeaturizer(kind="mfcc")
+    feats, feat_lengths = dev(wavs, lengths)
+    for i in range(wavs.shape[0]):
+        tail = np.asarray(feats)[i, int(feat_lengths[i]):]
+        assert np.all(tail == 0.0)

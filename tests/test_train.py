@@ -1,0 +1,177 @@
+"""Training subsystem: jitted step, DP mesh parity, checkpoint/resume,
+dummy-corpus end-to-end (SURVEY.md §4 integration + distributed strategy)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_study_tpu.data.corpora import Dummy
+from asr_study_tpu.data.generator import DatasetGenerator
+from asr_study_tpu.features.audio import MFCC
+from asr_study_tpu.models.zoo import build_model
+from asr_study_tpu.text.parser import CharParser
+from asr_study_tpu.train.checkpoint import CheckpointManager
+from asr_study_tpu.train.loop import fit
+from asr_study_tpu.train.trainer import Trainer, make_mesh, make_optimizer
+
+
+def _toy_batch(key, batch=8, t=12, feats=5, l=3, num_classes=4):
+    k1, k2 = jax.random.split(key)
+    return dict(
+        inputs=jax.random.normal(k1, (batch, t, feats)),
+        input_lengths=jnp.full((batch,), t, jnp.int32),
+        labels=jax.random.randint(k2, (batch, l), 0, num_classes),
+        label_lengths=jnp.full((batch,), l, jnp.int32),
+        weights=jnp.ones((batch,), jnp.float32),
+    )
+
+
+def _toy_trainer(mesh=None, num_classes=4, hidden=8, donate=True):
+    model = build_model(
+        "graves2006", {"num_hiddens": hidden}, num_classes=num_classes
+    )
+    tx = make_optimizer("adam", 5e-3, clipnorm=10.0)
+    return model, Trainer(model, tx, mesh=mesh, donate_state=donate)
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        _, trainer = _toy_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        rng = jax.random.PRNGKey(2)
+        losses = []
+        for _ in range(30):
+            state, m = trainer.train_step(
+                state, b["inputs"], b["input_lengths"], b["labels"],
+                b["label_lengths"], b["weights"], rng,
+            )
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses[::10]
+        assert int(state.step) == 30
+
+    def test_padded_rows_do_not_affect_loss(self):
+        # donate_state=False: the same state is fed to two train_step calls
+        _, trainer = _toy_trainer(donate=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        w_half = b["weights"].at[4:].set(0.0)
+        # corrupt the zero-weighted rows; loss must not change
+        bad_inputs = b["inputs"].at[4:].set(999.0)
+        _, m1 = trainer.train_step(
+            state, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], w_half, jax.random.PRNGKey(2),
+        )
+        _, m2 = trainer.train_step(
+            state, bad_inputs, b["input_lengths"], b["labels"],
+            b["label_lengths"], w_half, jax.random.PRNGKey(2),
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+
+
+class TestDataParallel:
+    def test_mesh_matches_single_device(self):
+        assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+        b = _toy_batch(jax.random.PRNGKey(1))
+        rng = jax.random.PRNGKey(2)
+
+        _, t_single = _toy_trainer(mesh=None)
+        s_single = t_single.init_state(jax.random.PRNGKey(0), input_dim=5)
+        s1, m1 = t_single.train_step(
+            s_single, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], rng,
+        )
+
+        mesh = make_mesh(8)
+        _, t_dp = _toy_trainer(mesh=mesh)
+        s_dp = t_dp.init_state(jax.random.PRNGKey(0), input_dim=5)
+        s8, m8 = t_dp.train_step(
+            s_dp, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], rng,
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+        )
+        flat1 = jax.tree_util.tree_leaves(s1.params)
+        flat8 = jax.tree_util.tree_leaves(s8.params)
+        for a, c in zip(flat1, flat8):
+            np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+    def test_eval_step_on_mesh(self):
+        mesh = make_mesh(8)
+        _, trainer = _toy_trainer(mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        out = trainer.eval_step(
+            state, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"],
+        )
+        assert np.isfinite(float(out["loss"]))
+        assert float(out["num_seqs"]) == 8
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        _, trainer = _toy_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        state, _ = trainer.train_step(
+            state, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], jax.random.PRNGKey(2),
+        )
+        mgr = CheckpointManager(str(tmp_path / "run"))
+        mgr.save(state, metrics={"val_loss": 1.5}, hparams={"model": "toy"})
+        mgr.wait()
+
+        fresh = trainer.init_state(jax.random.PRNGKey(99), input_dim=5)
+        restored = mgr.restore(fresh)
+        assert int(restored.step) == 1
+        for a, c in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        meta = json.load(open(tmp_path / "run" / "meta.json"))
+        assert meta["hparams"]["model"] == "toy"
+        assert meta["history"][0]["val_loss"] == 1.5
+        mgr.close()
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_dummy_corpus_pipeline(self, tmp_path):
+        """make-dataset -> train -> loss drops -> eval decodes
+        (the reference's dummy-corpus smoke role [ref: datasets/dummy.py])."""
+        corpus = Dummy(str(tmp_path / "corpus"), n=8)
+        h5 = str(tmp_path / "data.h5")
+        label_parser = CharParser()
+        # Dummy assigns its own round-robin splits (train/valid/test)
+        counts = corpus.to_h5(h5, MFCC(), label_parser)
+        assert counts["train"] >= 4
+
+        gen = DatasetGenerator(batch_size=8)
+        it = gen.flow_from_h5(h5, "train")
+        model = build_model(
+            "graves2006", {"num_hiddens": 16},
+            num_classes=label_parser.num_classes,
+        )
+        trainer = Trainer(model, make_optimizer("adam", 5e-3, 10.0))
+        state = trainer.init_state(jax.random.PRNGKey(0), it.num_feats)
+        ckpt = CheckpointManager(str(tmp_path / "run"))
+        state = fit(
+            trainer, state, it, valid_iter=it, epochs=6, ckpt=ckpt,
+            hparams={"model": "graves2006"}, log_dir=str(tmp_path / "run"),
+        )
+        hist = ckpt.meta["history"]
+        assert hist[-1]["val_loss"] < hist[0]["val_loss"]
+        # eval path produces strings
+        res = trainer.run_eval(state, it.epoch())
+        assert 0.0 <= res["ler"]
+        assert os.path.exists(tmp_path / "run" / "train_metrics.csv")
+        ckpt.close()
