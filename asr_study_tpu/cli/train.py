@@ -44,6 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
+    p.add_argument("--check_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN, slower)")
     return p
 
 
@@ -55,6 +57,8 @@ def main(argv=None) -> int:
 
     select_platform(args.platform)
     setup_compilation_cache()
+    if args.check_nans:
+        jax.config.update("jax_debug_nans", True)
     label_parser = CharParser()
     model = build_model(
         args.model, args.params, num_classes=label_parser.num_classes

@@ -1,0 +1,220 @@
+"""Fused Pallas TPU kernel: wav -> framing -> window -> DFT -> mel -> log
+(-> DCT/lifter for MFCC), one kernel launch per batch.
+
+The BASELINE north-star feature path: instead of materializing the
+[B, T, frame_len] frame tensor in HBM (as the XLA path in device.py does),
+each grid step receives a 128-frame block of hop-rows and runs the whole
+per-frame chain as three back-to-back MXU matmuls (DFT-real, DFT-imag,
+mel), writing only the final [128, F] feature block to HBM.
+
+Framing without gathers, reshapes, or unaligned dynamic slices (all of
+which Mosaic rejects): the wav is laid out as hop-rows [B, M, hop] and the
+kernel takes ``ceil(frame_len/hop)`` *shifted views* of that array, each
+delivered as a [1, TT, hop] block by its own BlockSpec index map.  Frame t
+is the lane-axis concatenation of row t from each view, zero-padded to
+``n_parts*hop`` samples; the window (zero beyond frame_len) kills the
+overhang, so the DFT matrices just carry zero rows there.
+
+Deltas / per-utterance masking stay outside (XLA): they are elementwise,
+cheap, and need cross-tile halos.  Pre-emphasis + tail-zeroing also happen
+outside (one fused elementwise pass), keeping the kernel shape-static.
+
+Parity: golden-tested against the NumPy oracle (audio.py) via
+``interpret=True`` on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asr_study_tpu.features import audio
+from asr_study_tpu.features.device import (
+    DeviceFeaturizer,
+    _dft_matrices,
+    _delta_device,
+    device_num_frames,
+)
+
+_TT = 128            # frames per grid step
+
+
+def _fbank_kernel(
+    *refs,
+    n_parts: int,
+    nfft: int,
+    mfcc: bool,
+    append_energy: bool,
+):
+    # refs: view_0..view_{n_parts-1} [1, TT, hop], cos [L, K], sin [L, K],
+    #       win [1, L], mel [K, nfilt], dct [nfilt, ncep], lift [1, ncep],
+    #       out [1, TT, F_out]
+    views = refs[:n_parts]
+    cos_ref, sin_ref, win_ref, mel_ref, dct_ref, lift_ref = refs[
+        n_parts : n_parts + 6
+    ]
+    out_ref = refs[n_parts + 6]
+
+    frames = jnp.concatenate(
+        [v[0, :, :] for v in views], axis=-1
+    )                                            # [TT, n_parts*hop]
+    frames = frames * win_ref[0, :]              # window zeroes the overhang
+
+    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    pspec = (re * re + im * im) * (1.0 / nfft)   # [TT, K]
+
+    feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32)
+    feat = jnp.log(jnp.maximum(feat, jnp.finfo(jnp.float32).eps))
+    if mfcc:
+        cep = jnp.dot(feat, dct_ref[...], preferred_element_type=jnp.float32)
+        cep = cep * lift_ref[0, :]
+        if append_energy:
+            energy = jnp.sum(pspec, axis=-1, keepdims=True)
+            log_e = jnp.log(
+                jnp.maximum(energy, jnp.finfo(jnp.float32).eps)
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
+            cep = jnp.where(col == 0, log_e, cep)
+        feat = cep
+    out_ref[0, :, :] = feat
+
+
+class PallasFeaturizer(DeviceFeaturizer):
+    """Drop-in DeviceFeaturizer whose core chain runs as one fused Pallas
+    kernel.  ``interpret=True`` runs the kernel in interpreter mode (CPU
+    testing).  Deltas and masking reuse the XLA implementations.
+    """
+
+    def __init__(self, *args, interpret: bool = False, **kw):
+        self._interpret = interpret
+        super().__init__(*args, **kw)
+        if self.frame_len <= self.frame_step:
+            raise ValueError(
+                "PallasFeaturizer requires overlapping frames "
+                "(frame_len > frame_step; default 400/160 works)"
+            )
+
+    def _transform(self, wavs: jax.Array, wav_lengths: jax.Array):
+        batch, n_samples = wavs.shape
+        wavs = wavs.astype(self.dtype)
+        wav_lengths = wav_lengths.astype(jnp.int32)
+
+        pre = jnp.concatenate(
+            [wavs[:, :1], wavs[:, 1:] - self.preemph * wavs[:, :-1]], axis=1
+        )
+        pre = jnp.where(
+            jnp.arange(n_samples)[None, :] < wav_lengths[:, None], pre, 0.0
+        )
+
+        hop = self.frame_step
+        t_out = int(audio.num_frames(n_samples, self.frame_len, hop))
+        t_pad = ((t_out + _TT - 1) // _TT) * _TT
+        n_tiles = t_pad // _TT
+        n_parts = -(-self.frame_len // hop)      # ceil
+        l_pad = n_parts * hop                    # padded frame length
+        n_rows = t_pad + n_parts
+        need = n_rows * hop
+        if need > n_samples:
+            pre = jnp.pad(pre, ((0, 0), (0, need - n_samples)))
+        rows = pre[:, :need].reshape(batch, n_rows, hop)
+        # hop-shifted views; view j's row t holds samples [t*hop + j*hop)
+        views = [rows[:, j : j + t_pad, :] for j in range(n_parts)]
+
+        # operator tables padded to the window-zeroed frame length
+        cos = self._cos
+        sin = self._sin
+        win = self._window
+        if l_pad > self.frame_len:
+            z = l_pad - self.frame_len
+            cos = jnp.pad(cos, ((0, z), (0, 0)))
+            sin = jnp.pad(sin, ((0, z), (0, 0)))
+            win = jnp.pad(win, ((0, z),))
+
+        mfcc = self.kind == "mfcc"
+        f_core = self.num_cep if mfcc else self.nfilt
+        k_bins = self.nfft // 2 + 1
+
+        kernel = functools.partial(
+            _fbank_kernel,
+            n_parts=n_parts,
+            nfft=self.nfft,
+            mfcc=mfcc,
+            append_energy=self.append_energy and mfcc,
+        )
+        view_specs = [
+            pl.BlockSpec(
+                (1, _TT, hop), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(n_parts)
+        ]
+        const_specs = [
+            pl.BlockSpec(
+                (l_pad, k_bins), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (l_pad, k_bins), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, l_pad), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_bins, self.nfilt), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (self.nfilt, self.num_cep), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, self.num_cep), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        base = pl.pallas_call(
+            kernel,
+            grid=(batch, n_tiles),
+            in_specs=view_specs + const_specs,
+            out_specs=pl.BlockSpec(
+                (1, _TT, f_core), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, t_pad, f_core), self.dtype
+            ),
+            interpret=self._interpret,
+        )(
+            *views,
+            cos,
+            sin,
+            win[None, :],
+            self._fbank,
+            self._dct,
+            self._lift[None, :],
+        )
+        base = base[:, :t_out]
+
+        feat_lengths = device_num_frames(wav_lengths, self.frame_len, hop)
+        if self.kind == "fbank":
+            # kernel emits log-mel; undo the log for linear fbank parity
+            out = jnp.exp(base)
+        else:
+            outs = [base]
+            if self.d:
+                outs.append(_delta_device(outs[-1], feat_lengths))
+            if self.dd:
+                outs.append(_delta_device(outs[-1], feat_lengths))
+            out = jnp.concatenate(outs, axis=-1)
+        mask = (
+            jnp.arange(t_out)[None, :] < feat_lengths[:, None]
+        ).astype(out.dtype)[..., None]
+        return out * mask, feat_lengths

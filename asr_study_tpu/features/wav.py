@@ -51,7 +51,16 @@ def read_wav(path: str, sr: int | None = 16000) -> Tuple[np.ndarray, int]:
     If ``sr`` is given and differs from the file's rate, resample (polyphase,
     like librosa's default resampler family).  Pass ``sr=None`` to keep the
     native rate.
+
+    Decoding goes through the C++ fast path (native/asr_native.cc) when the
+    library is available, with this pure-Python parser as the fallback.
     """
+    from asr_study_tpu.utils import native as _native
+
+    nat = _native.read_wav(path)
+    if nat is not None:
+        sig, file_sr = nat
+        return _maybe_resample(sig, file_sr, sr)
     with open(path, "rb") as f:
         riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave != b"WAVE":
@@ -91,6 +100,12 @@ def read_wav(path: str, sr: int | None = 16000) -> Tuple[np.ndarray, int]:
         sig = _decode_pcm(data, bits, n_channels)
     else:
         raise ValueError(f"{path}: unsupported WAV format tag {audio_format}")
+    return _maybe_resample(sig, file_sr, sr)
+
+
+def _maybe_resample(
+    sig: np.ndarray, file_sr: int, sr: int | None
+) -> Tuple[np.ndarray, int]:
     if sr is not None and sr != file_sr:
         from math import gcd
 

