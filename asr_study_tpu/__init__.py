@@ -11,8 +11,8 @@ Pipeline (mirrors the reference's, cf. SURVEY.md §0):
       -> stacked BLSTM / GRU acoustic model (+ layer-norm / zoneout /
          multiplicative-integration / highway-residual LSTM variants)      models/
       -> CTC loss (log-space forward-backward, lax.scan)                   ops/ctc.py
-      -> greedy / prefix-beam-search CTC decoding                          ops/decode.py
-      -> CER / WER evaluation                                              ops/edit_distance.py, train/
+      -> greedy / prefix-beam-search CTC decoding                          ops/ctc.py, ops/beam.py
+      -> CER / WER evaluation                                              ops/metrics.py, train/
 
 All device compute is JAX (jit / shard_map over a jax.sharding.Mesh, Pallas
 kernels for the hot ops); host-side data plumbing is NumPy/HDF5 with an

@@ -66,14 +66,18 @@ def _fbank_kernel(
     )                                            # [TT, n_parts*hop]
     frames = frames * win_ref[0, :]              # window zeroes the overhang
 
-    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     pspec = (re * re + im * im) * (1.0 / nfft)   # [TT, K]
 
-    feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32)
+    feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     feat = jnp.log(jnp.maximum(feat, jnp.finfo(jnp.float32).eps))
     if mfcc:
-        cep = jnp.dot(feat, dct_ref[...], preferred_element_type=jnp.float32)
+        cep = jnp.dot(feat, dct_ref[...], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         cep = cep * lift_ref[0, :]
         if append_energy:
             energy = jnp.sum(pspec, axis=-1, keepdims=True)
