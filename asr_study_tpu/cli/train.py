@@ -46,6 +46,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="force a jax platform (cpu|tpu); default = env")
     p.add_argument("--check_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN, slower)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (f32 master weights + loss)")
     return p
 
 
@@ -79,7 +81,12 @@ def main(argv=None) -> int:
         valid_it = None
 
     tx = make_optimizer(args.opt, args.lr, args.clipnorm)
-    trainer = Trainer(model, tx, mesh=mesh)
+    import jax.numpy as jnp
+
+    trainer = Trainer(
+        model, tx, mesh=mesh,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
     state = trainer.init_state(
         jax.random.PRNGKey(args.seed), train_it.num_feats
     )
@@ -92,6 +99,7 @@ def main(argv=None) -> int:
         "model": args.model, "params": args.params,
         "batch_size": args.batch_size, "opt": args.opt, "lr": args.lr,
         "clipnorm": args.clipnorm, "num_devices": n_dev,
+        "bf16": args.bf16,
         "num_feats": train_it.num_feats,
         "num_classes": label_parser.num_classes,
     }

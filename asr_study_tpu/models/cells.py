@@ -45,6 +45,14 @@ def _hold(mask_t, new, old):
     return jnp.where(mask_t > 0, new, old)
 
 
+def _dot(x, w):
+    """Matmul in the weights' dtype (engages bf16 MXU paths under mixed
+    precision) with f32 accumulation."""
+    return jnp.dot(
+        x.astype(w.dtype), w, preferred_element_type=jnp.float32
+    )
+
+
 class LSTMCell:
     """Vanilla LSTM."""
 
@@ -72,11 +80,11 @@ class LSTMCell:
         return (jnp.zeros((batch, h), dtype), jnp.zeros((batch, h), dtype))
 
     def input_proj(self, params, x):
-        return jnp.dot(x, params["wx"], preferred_element_type=jnp.float32)
+        return _dot(x, params["wx"])
 
     def _gates(self, params, carry, xp_t):
         h_prev, _ = carry
-        hp = jnp.dot(h_prev, params["wh"], preferred_element_type=jnp.float32)
+        hp = _dot(h_prev, params["wh"])
         return xp_t + hp + params["b"]
 
     def step(self, params, carry, xp_t, mask_t, key_t=None, train: bool = False):
@@ -108,7 +116,7 @@ class MILSTMCell(LSTMCell):
 
     def _gates(self, params, carry, xp_t):
         h_prev, _ = carry
-        hp = jnp.dot(h_prev, params["wh"], preferred_element_type=jnp.float32)
+        hp = _dot(h_prev, params["wh"])
         return (
             params["alpha"] * xp_t * hp
             + params["beta1"] * xp_t
@@ -144,7 +152,7 @@ class LayerNormLSTMCell(LSTMCell):
 
     def step(self, params, carry, xp_t, mask_t, key_t=None, train: bool = False):
         h_prev, c_prev = carry
-        hp = jnp.dot(h_prev, params["wh"], preferred_element_type=jnp.float32)
+        hp = _dot(h_prev, params["wh"])
         pre = (
             self._blockwise_ln(params["ln_x"], xp_t)
             + self._blockwise_ln(params["ln_h"], hp)
@@ -214,11 +222,11 @@ class GRUCell:
         return (jnp.zeros((batch, self.hidden), dtype or self.dtype),)
 
     def input_proj(self, params, x):
-        return jnp.dot(x, params["wx"], preferred_element_type=jnp.float32)
+        return _dot(x, params["wx"])
 
     def step(self, params, carry, xp_t, mask_t, key_t=None, train: bool = False):
         (h_prev,) = carry
-        hp = jnp.dot(h_prev, params["wh"], preferred_element_type=jnp.float32)
+        hp = _dot(h_prev, params["wh"])
         xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         br, bz, bn = jnp.split(params["b"], 3)

@@ -47,8 +47,9 @@ def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32):
 
 
 def dense_apply(params, x, precision=None):
+    w = params["w"]
     return (
-        jnp.dot(x, params["w"], precision=precision,
+        jnp.dot(x.astype(w.dtype), w, precision=precision,
                 preferred_element_type=jnp.float32)
         + params["b"]
     )

@@ -12,17 +12,32 @@ real frames).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 
 from asr_study_tpu.models import nn
-from asr_study_tpu.models.cells import make_cell
+from asr_study_tpu.models.cells import LSTMCell, make_cell
+
+# Recurrence backend: 'auto' uses the fused Pallas LSTM kernel on TPU for
+# plain MXU-aligned LSTM cells, lax.scan otherwise. Override with
+# ASR_RNN_BACKEND=scan|pallas|auto.
+RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
+
+
+def _pallas_eligible(cell, key, train) -> bool:
+    return (
+        type(cell) is LSTMCell
+        and cell.hidden % 128 == 0
+        and cell.dtype == jnp.float32
+    )
 
 
 def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
-              reverse: bool = False, unroll: int = 1):
+              reverse: bool = False, unroll: int = 1,
+              backend: Optional[str] = None):
     """Run one direction of a recurrence.
 
     xp:   [T, B, G*H]  precomputed input projections
@@ -31,6 +46,23 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
     """
     t_steps, batch = xp.shape[0], xp.shape[1]
     orig_mask = mask
+    backend = backend or RNN_BACKEND
+    if backend != "scan" and _pallas_eligible(cell, key, train):
+        on_tpu = jax.default_backend() == "tpu"
+        if backend == "pallas" or on_tpu:
+            from asr_study_tpu.ops.pallas_lstm import pallas_lstm
+
+            xp_b = xp + params["b"]
+            m2 = mask
+            if reverse:
+                xp_b, m2 = xp_b[::-1], m2[::-1]
+            outs = pallas_lstm(
+                xp_b, m2, params["wh"], cell.hidden,
+                interpret=not on_tpu,
+            )
+            if reverse:
+                outs = outs[::-1]
+            return outs * orig_mask
     if reverse:
         xp, mask = xp[::-1], mask[::-1]
     keys = None

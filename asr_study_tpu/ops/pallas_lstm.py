@@ -1,0 +1,227 @@
+"""Pallas TPU LSTM scan: the recurrent hot loop as a single kernel, with a
+custom-VJP backward kernel so training runs through it too.
+
+Why: ``lax.scan`` emits one XLA while-loop iteration per frame — each a
+small [B, H] x [H, 4H] matmul plus loop bookkeeping.  This kernel keeps the
+(h, c) state and the recurrent weights resident in VMEM across the whole
+sequence and streams the (pre-computed, bias-folded) input projections
+``xp`` through the BlockSpec pipeline, so the only HBM traffic per frame is
+xp-in / h-out (SURVEY.md §7 hard-part 5; pallas_guide double-buffering
+pattern — the pipeline does the double buffering for us).
+
+Work split:
+- outside (XLA, MXU-friendly big matmuls): input projection x @ Wx + b for
+  all T at once; for backward, dW_hh / db / dx as single big contractions
+  over the stored sequences.
+- inside (this kernel): the sequential recurrence only — per frame one
+  [B, H] x [H, 4H] matmul (forward) or one [B, 4H] x [4H, H] (backward).
+
+Gate order i, f, g, o (matches models/cells.py).  Masked frames hold state
+exactly like the scan cells (padding-correct for reversed scans).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, c_out_ref,
+                h_scr, c_scr, *, hidden: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    h_prev = h_scr[...]
+    c_prev = c_scr[...]
+    gates = xp_ref[0] + jnp.dot(
+        h_prev, wh_ref[...],
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )                                                   # [B, 4H]
+    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
+    m = mask_ref[0]                                     # [B, 1]
+    h = jnp.where(m > 0, h, h_prev)
+    c = jnp.where(m > 0, c, c_prev)
+    h_scr[...] = h
+    c_scr[...] = c
+    h_out_ref[0] = h
+    c_out_ref[0] = c
+
+
+def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
+                wh_ref, wht_ref, dxp_ref, dh_scr, dc_scr, *, hidden: int):
+    t = pl.program_id(0)                 # 0 .. T-1, walking time BACKWARD
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_t = c_ref[0]
+    m = mask_ref[0]                                     # [B, 1]
+
+    # recompute gate activations (cheaper than storing [T, B, 4H])
+    gates = xp_ref[0] + jnp.dot(
+        h_prev, wh_ref[...],
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+
+    dh = dh_out_ref[0] + dh_scr[...]
+    dc_in = dc_scr[...]
+    tc = jnp.tanh(c_t)
+    do = dh * tc
+    dc = dc_in + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    dpre = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )                                                    # [B, 4H]
+    dpre = jnp.where(m > 0, dpre, 0.0)
+    dh_rec = jnp.dot(
+        dpre, wht_ref[...],
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+    # masked frames pass state (and its cotangent) straight through
+    dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
+    dc_prev = jnp.where(m > 0, dc * f, dc)
+    dh_scr[...] = dh_prev
+    dc_scr[...] = dc_prev
+    dxp_ref[0] = dpre
+
+
+def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
+    t_steps, batch, gh = xp.shape
+
+    kernel = functools.partial(_fwd_kernel, hidden=hidden)
+    h_seq, c_seq = pl.pallas_call(
+        kernel,
+        grid=(t_steps,),
+        in_specs=[
+            pl.BlockSpec((1, batch, gh), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, batch, hidden), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, hidden), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_steps, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_steps, batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, mask, wh)
+    return h_seq, c_seq
+
+
+def _bwd_call(xp, mask, h_seq, c_seq, dh_out, wh, hidden: int,
+              interpret: bool):
+    t_steps, batch, gh = xp.shape
+    wht = wh.T
+
+    rev = lambda t: (t_steps - 1 - t, 0, 0)          # noqa: E731
+
+    kernel = functools.partial(_bwd_kernel, hidden=hidden)
+    # h_prev/c_prev as explicitly shifted sequences (zero initial state),
+    # so every grid step reads plain time-reversed blocks.
+    zero = jnp.zeros((1, batch, hidden), jnp.float32)
+    h_prev_seq = jnp.concatenate([zero, h_seq[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([zero, c_seq[:-1]], axis=0)
+
+    dxp = pl.pallas_call(
+        kernel,
+        grid=(t_steps,),
+        in_specs=[
+            pl.BlockSpec((1, batch, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, hidden), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, batch, gh), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_steps, batch, gh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, mask, h_prev_seq, c_prev_seq, c_seq, dh_out, wh, wht)
+    return dxp, h_prev_seq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_lstm(xp, mask, wh, hidden: int, interpret: bool = False):
+    """LSTM scan over time.
+
+    xp:   [T, B, 4H] float32 — x @ Wx + b, bias folded in
+    mask: [T, B, 1]  float32 — 1.0 on real frames
+    wh:   [H, 4H]    float32 — recurrent weights
+    ->    h_seq [T, B, H] (zero initial state; masked frames hold state)
+    """
+    h_seq, _ = _fwd_call(xp, mask, wh, hidden, interpret)
+    return h_seq
+
+
+def _pallas_lstm_fwd(xp, mask, wh, hidden, interpret):
+    h_seq, c_seq = _fwd_call(xp, mask, wh, hidden, interpret)
+    return h_seq, (xp, mask, wh, h_seq, c_seq)
+
+
+def _pallas_lstm_bwd(hidden, interpret, res, dh_out):
+    xp, mask, wh, h_seq, c_seq = res
+    dxp, h_prev_seq = _bwd_call(
+        xp, mask, h_seq, c_seq, dh_out, wh, hidden, interpret
+    )
+    # weight gradient as one big MXU contraction outside the kernel
+    dwh = jnp.einsum(
+        "tbh,tbg->hg", h_prev_seq, dxp, precision=_PREC,
+        preferred_element_type=jnp.float32,
+    )
+    dmask = jnp.zeros_like(mask)
+    return dxp, dmask, dwh
+
+
+pallas_lstm.defvjp(_pallas_lstm_fwd, _pallas_lstm_bwd)

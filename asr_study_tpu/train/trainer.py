@@ -77,10 +77,15 @@ class Trainer:
         optimizer: optax.GradientTransformation,
         mesh: Optional[Mesh] = None,
         donate_state: bool = True,
+        compute_dtype: Optional[Any] = None,
     ):
+        """``compute_dtype=jnp.bfloat16`` runs the network forward/backward
+        in bf16 (MXU-native) with f32 master weights, f32 CTC loss, and f32
+        optimizer state — classic mixed precision.  None = full f32."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
+        self.compute_dtype = compute_dtype
         if mesh is not None:
             self._repl = NamedSharding(mesh, P())
             self._batched = NamedSharding(mesh, P("data"))
@@ -141,12 +146,20 @@ class Trainer:
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            p, x = params, inputs
+            if self.compute_dtype is not None:
+                cast = lambda a: (  # noqa: E731
+                    a.astype(self.compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a
+                )
+                p = jax.tree_util.tree_map(cast, p)
+                x = cast(x)
             logits = self.model.apply(
-                params, inputs, input_lengths, train=True, rng=rng
+                p, x, input_lengths, train=True, rng=rng
             )
             loss = ctc.ctc_loss_mean(
-                logits, input_lengths, labels, label_lengths,
-                blank_id=self.model.blank_id, weights=weights,
+                logits.astype(jnp.float32), input_lengths, labels,
+                label_lengths, blank_id=self.model.blank_id, weights=weights,
             )
             return loss, logits
 

@@ -101,9 +101,15 @@ def main() -> int:
     def run(buf, lens):
         return infer(params, jnp.asarray(buf), jnp.asarray(lens))
 
+    def fetch(outs):
+        # On some backends block_until_ready is effectively a no-op (the
+        # wait happens at value fetch), so HONEST timing must materialize
+        # the outputs on the host — which the user needs anyway.
+        return [(np.asarray(d), np.asarray(l)) for d, l in outs]
+
     # warmup + compile (try pallas; fall back to XLA features on failure)
     try:
-        jax.block_until_ready(run(*batches[0]))
+        fetch([run(*batches[0])])
     except Exception:
         if feat_kind == "pallas":
             from asr_study_tpu.features.device import DeviceFeaturizer
@@ -111,16 +117,17 @@ def main() -> int:
             featurizer = DeviceFeaturizer(kind="mfcc", d=True, dd=True)
             feat_kind = "xla"
             infer._clear_cache()
-            jax.block_until_ready(run(*batches[0]))
+            fetch([run(*batches[0])])
         else:
             raise
 
-    # steady state: pipeline all batches, block once at the end
+    # steady state: dispatch all batches (queue overlaps H2D with compute),
+    # then fetch every decoded output
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [run(*b) for b in batches]
-        jax.block_until_ready(outs)
+        fetch(outs)
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = total_audio / wall

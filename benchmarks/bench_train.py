@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Internal benchmark: CTC training-step throughput (BASELINE config 3).
+
+Measures steady-state steps/s and audio-seconds/s for a deep BLSTM training
+step on synthetic bucketed batches.  Not the driver's headline metric
+(that's bench.py); used to tune precision / batch / scan options.
+
+    python benchmarks/bench_train.py [--bf16] [--batch 32] [--steps 20]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from asr_study_tpu.models.zoo import build_model          # noqa: E402
+from asr_study_tpu.train.trainer import Trainer, make_optimizer  # noqa: E402
+
+SR = 16000
+HOP_S = 0.01
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--time", type=int, default=512, help="frames per utt")
+    ap.add_argument("--labels", type=int, default=48)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--model", default="deep_blstm")
+    args = ap.parse_args()
+
+    model = build_model(
+        args.model,
+        {"num_hiddens": args.hidden, "num_layers": args.layers,
+         "dropout": 0.0},
+        num_classes=27,
+    )
+    trainer = Trainer(
+        model, make_optimizer("adam", 1e-4, 400.0),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), 39)
+
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(args.batch, args.time, 39), jnp.float32)
+    input_lengths = jnp.full((args.batch,), args.time, jnp.int32)
+    labels = jnp.asarray(
+        rng.randint(0, 27, (args.batch, args.labels)), jnp.int32
+    )
+    label_lengths = jnp.full((args.batch,), args.labels, jnp.int32)
+    weights = jnp.ones((args.batch,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    def step(state):
+        return trainer.train_step(
+            state, inputs, input_lengths, labels, label_lengths, weights, key
+        )
+
+    state, m = step(state)  # compile
+    float(m["loss"])        # fetch forces completion (block_until_ready is
+    t0 = time.perf_counter()  # a no-op on some remote backends)
+    for _ in range(args.steps):
+        state, m = step(state)
+        float(m["loss"])
+    wall = time.perf_counter() - t0
+    steps_per_s = args.steps / wall
+    audio_s = args.batch * args.time * HOP_S
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "steps_per_s": round(steps_per_s, 3),
+        "audio_s_per_s": round(steps_per_s * audio_s, 1),
+        "precision": "bf16" if args.bf16 else "f32",
+        "loss": float(m["loss"]),
+        "batch": args.batch, "time": args.time,
+        "model": f"{args.model}-{args.layers}x{args.hidden}",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

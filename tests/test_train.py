@@ -54,6 +54,31 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.7, losses[::10]
         assert int(state.step) == 30
 
+    def test_bf16_mixed_precision(self):
+        model = build_model(
+            "graves2006", {"num_hiddens": 8}, num_classes=4
+        )
+        tx = make_optimizer("adam", 5e-3, clipnorm=10.0)
+        t32 = Trainer(model, tx, donate_state=False)
+        t16 = Trainer(
+            model, tx, donate_state=False, compute_dtype=jnp.bfloat16
+        )
+        state = t32.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        rng = jax.random.PRNGKey(2)
+        args = (
+            b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], rng,
+        )
+        s32, m32 = t32.train_step(state, *args)
+        s16, m16 = t16.train_step(state, *args)
+        # bf16 forward should be close to f32 (not exact), grads finite,
+        # and master params stay f32
+        assert abs(float(m32["loss"]) - float(m16["loss"])) < 0.5
+        for leaf in jax.tree_util.tree_leaves(s16.params):
+            assert leaf.dtype == jnp.float32
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
     def test_padded_rows_do_not_affect_loss(self):
         # donate_state=False: the same state is fed to two train_step calls
         _, trainer = _toy_trainer(donate=False)
