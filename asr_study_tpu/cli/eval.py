@@ -54,7 +54,11 @@ def load_run(save_dir: str, label_parser: CharParser, best: bool = True):
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate a trained model")
-    p.add_argument("--dataset", required=True)
+    p.add_argument("--dataset", required=True,
+                   help="HDF5 dataset path or .json manifest")
+    p.add_argument("--input_parser", default="mfcc",
+                   help="feature extractor for .json datasets")
+    p.add_argument("--input_params", default=None)
     p.add_argument("--split", default="test")
     p.add_argument("--save", required=True, help="training run directory")
     p.add_argument("--batch_size", type=int, default=32)
@@ -80,8 +84,13 @@ def main(argv=None) -> int:
     label_parser = CharParser()
     model, state, _ = load_run(args.save, label_parser, best=args.best)
 
+    from asr_study_tpu.cli.data_flow import flow_from_arg
+
     gen = DatasetGenerator(batch_size=args.batch_size, shuffle=False)
-    it = gen.flow_from_h5(args.dataset, args.split)
+    it = flow_from_arg(
+        gen, args.dataset, args.split, label_parser,
+        args.input_parser, args.input_params,
+    )
 
     @jax.jit
     def forward(params, inputs, input_lengths):

@@ -9,6 +9,7 @@ Example::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
@@ -24,7 +25,13 @@ from asr_study_tpu.train.trainer import Trainer, make_mesh, make_optimizer
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train a CTC acoustic model")
-    p.add_argument("--dataset", required=True, help="HDF5 dataset path")
+    p.add_argument("--dataset", required=True,
+                   help="HDF5 dataset path, or a .json manifest (features "
+                        "extracted on the fly with --input_parser)")
+    p.add_argument("--input_parser", default="mfcc",
+                   help="feature extractor for .json datasets")
+    p.add_argument("--input_params", default=None,
+                   help="feature kwargs as JSON for .json datasets")
     p.add_argument("--model", default="graves2006")
     p.add_argument("--params", default=None,
                    help='hparam overrides, e.g. "num_hiddens=256,num_layers=3"')
@@ -33,7 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--opt", default="adam")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--clipnorm", type=float, default=400.0)
-    p.add_argument("--save", default="runs/default", help="checkpoint/log dir")
+    p.add_argument("--save", default=None,
+                   help="checkpoint/log dir (default: auto-named from the "
+                        "model + non-default args, like the reference)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --save")
     p.add_argument("--num_devices", type=int, default=0,
@@ -61,6 +70,21 @@ def main(argv=None) -> int:
     setup_compilation_cache()
     if args.check_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.save is None:
+        # run naming from non-default args [ref: utils/generic_utils.py]
+        defaults = build_argparser().parse_args(
+            ["--dataset", args.dataset]
+        )
+        tags = [args.model]
+        for k in ("params", "batch_size", "opt", "lr", "clipnorm", "bf16"):
+            v = getattr(args, k)
+            if v != getattr(defaults, k) and v not in (None, False):
+                tags.append(f"{k}={v}")
+        safe = "".join(
+            c if c.isalnum() or c in "=._-" else "_" for c in "_".join(tags)
+        )
+        args.save = os.path.join("runs", safe)
+        print(f"run dir: {args.save}", file=sys.stderr)
     label_parser = CharParser()
     model = build_model(
         args.model, args.params, num_classes=label_parser.num_classes
@@ -73,11 +97,19 @@ def main(argv=None) -> int:
             f"--batch_size {args.batch_size} not divisible by {n_dev} devices"
         )
 
+    from asr_study_tpu.cli.data_flow import flow_from_arg
+
     gen = DatasetGenerator(batch_size=args.batch_size)
-    train_it = gen.flow_from_h5(args.dataset, "train")
+    train_it = flow_from_arg(
+        gen, args.dataset, "train", label_parser,
+        args.input_parser, args.input_params,
+    )
     try:
-        valid_it = gen.flow_from_h5(args.dataset, "valid")
-    except KeyError:
+        valid_it = flow_from_arg(
+            gen, args.dataset, "valid", label_parser,
+            args.input_parser, args.input_params,
+        )
+    except (KeyError, ValueError):
         valid_it = None
 
     tx = make_optimizer(args.opt, args.lr, args.clipnorm)

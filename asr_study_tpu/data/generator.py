@@ -82,6 +82,42 @@ class DatasetGenerator:
         inputs, labels, texts, _durs = read_h5(h5_path, split)
         return self.flow(inputs, labels, texts)
 
+    def flow_from_json(
+        self,
+        json_path: str,
+        input_parser,
+        label_parser,
+        split: Optional[str] = None,
+    ) -> "DatasetIterator":
+        """Stream from a JSON-lines manifest (the ``DatasetParser.to_json``
+        format [ref: datasets/dataset_parser.py]), extracting features on
+        the fly — manifest-based training without an HDF5 build step.
+        ``split=None`` takes every utterance; otherwise filter by the
+        manifest's ``split`` field (missing fields count as 'train').
+        """
+        import json as _json
+
+        inputs, labels, texts = [], [], []
+        with open(json_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                utt = _json.loads(line)
+                if split and utt.get("split", "train") != split:
+                    continue
+                if not label_parser.is_valid(utt["label"]):
+                    continue
+                inputs.append(
+                    np.ascontiguousarray(
+                        input_parser(utt["audio"]), dtype=np.float32
+                    )
+                )
+                ids = np.asarray(label_parser(utt["label"]), np.int32)
+                labels.append(ids)
+                texts.append(label_parser.imap(ids))
+        return self.flow(inputs, labels, texts)
+
 
 class DatasetIterator:
     def __init__(self, gen: DatasetGenerator, inputs, labels, texts=None):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from asr_study_tpu.models import nn
-from asr_study_tpu.models.cells import LSTMCell, make_cell
+from asr_study_tpu.models.cells import GRUCell, LSTMCell, make_cell
 
 # Recurrence backend: 'auto' uses the fused Pallas LSTM kernel on TPU for
 # plain MXU-aligned LSTM cells, lax.scan otherwise. Override with
@@ -29,7 +29,7 @@ RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
 
 def _pallas_eligible(cell, key, train) -> bool:
     return (
-        type(cell) is LSTMCell
+        type(cell) in (LSTMCell, GRUCell)
         and cell.hidden % 128 == 0
         and cell.dtype == jnp.float32
     )
@@ -50,13 +50,16 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
     if backend != "scan" and _pallas_eligible(cell, key, train):
         on_tpu = jax.default_backend() == "tpu"
         if backend == "pallas" or on_tpu:
-            from asr_study_tpu.ops.pallas_lstm import pallas_lstm
+            if type(cell) is LSTMCell:
+                from asr_study_tpu.ops.pallas_lstm import pallas_lstm as op
+            else:
+                from asr_study_tpu.ops.pallas_gru import pallas_gru as op
 
             xp_b = xp + params["b"]
             m2 = mask
             if reverse:
                 xp_b, m2 = xp_b[::-1], m2[::-1]
-            outs = pallas_lstm(
+            outs = op(
                 xp_b, m2, params["wh"], cell.hidden,
                 interpret=not on_tpu,
             )

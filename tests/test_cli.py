@@ -47,6 +47,26 @@ def test_make_dataset_main(tmp_path, capsys):
     assert all("label" in u and "audio" in u for u in manifest)
 
 
+def test_json_manifest_flow(tmp_path):
+    """to_json manifest -> flow_from_json with on-the-fly features."""
+    from asr_study_tpu.cli.data_flow import flow_from_arg
+    from asr_study_tpu.data.corpora import Dummy
+    from asr_study_tpu.data.generator import DatasetGenerator
+    from asr_study_tpu.text.parser import CharParser
+
+    corpus = Dummy(str(tmp_path / "corpus"), n=6)
+    manifest = str(tmp_path / "m.json")
+    corpus.to_json(manifest)
+    gen = DatasetGenerator(batch_size=4)
+    it = flow_from_arg(
+        gen, manifest, None, CharParser(), "mfcc", None
+    )
+    assert it.num_samples == 6
+    batch = next(iter(it.epoch(0)))
+    assert batch.inputs.shape[-1] == 39  # mfcc + deltas
+    assert batch.texts is not None and batch.texts[0]
+
+
 def test_registry_error_lists_names():
     with pytest.raises(KeyError) as e:
         get_from_module("model", "definitely_not_a_model")
