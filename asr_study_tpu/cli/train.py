@@ -14,7 +14,6 @@ import sys
 
 import jax
 
-from asr_study_tpu.data.dataset_parser import read_h5
 from asr_study_tpu.data.generator import DatasetGenerator
 from asr_study_tpu.models.zoo import build_model
 from asr_study_tpu.text.parser import CharParser

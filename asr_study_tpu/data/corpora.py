@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -21,8 +21,6 @@ golden parity tests compare the two).  Design notes (pallas_guide / MXU):
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional, Tuple
 
 import jax

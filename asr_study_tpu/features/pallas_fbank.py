@@ -26,18 +26,15 @@ Parity: golden-tested against the NumPy oracle (audio.py) via
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from asr_study_tpu.features import audio
 from asr_study_tpu.features.device import (
     DeviceFeaturizer,
-    _dft_matrices,
     _delta_device,
     device_num_frames,
 )

@@ -27,8 +27,6 @@ Gate order everywhere: i, f, g (candidate), o — forget bias is +1.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

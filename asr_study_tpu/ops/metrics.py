@@ -14,7 +14,6 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _edit_distance_single(hyp, hyp_len, ref, ref_len):

@@ -23,7 +23,6 @@ exactly like the scan cells (padding-correct for reversed scans).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,9 +25,15 @@ from asr_study_tpu.train.trainer import TrainState
 class CheckpointManager:
     """Keeps ``latest`` and (optionally) ``best`` checkpoints under a dir.
 
+    Like the reference's two MetaCheckpoint instances, 'latest' and 'best'
+    live in SEPARATE retention domains — a single best_fn-managed store
+    would delete newer-but-worse checkpoints and silently break
+    resume-from-latest.
+
     Layout::
 
-        <dir>/ckpt/<step>/      orbax pytree {params, opt_state, step}
+        <dir>/ckpt/<step>/      latest checkpoints (recency retention)
+        <dir>/best/<step>/      best-by-metric checkpoint
         <dir>/meta.json         {hparams, history, best_step, last_step}
     """
 
@@ -44,16 +50,24 @@ class CheckpointManager:
         self.best_metric = best_metric
         self.mode = mode
         self.keep_best = keep_best
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep + (1 if keep_best else 0),
-            best_fn=(lambda m: m.get(best_metric, np.inf)) if keep_best else None,
-            best_mode=mode if keep_best else "max",
-            keep_checkpoints_without_metrics=True,
-            create=True,
-        )
         self._mgr = ocp.CheckpointManager(
-            os.path.join(self.directory, "ckpt"), options=options
+            os.path.join(self.directory, "ckpt"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
         )
+        self._best_mgr = None
+        if keep_best:
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(self.directory, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    best_fn=lambda m: m.get(best_metric, np.inf),
+                    best_mode=mode,
+                    keep_checkpoints_without_metrics=False,
+                    create=True,
+                ),
+            )
         self._meta_path = os.path.join(self.directory, "meta.json")
         self.meta: Dict[str, Any] = {"history": [], "hparams": {}}
         if os.path.exists(self._meta_path):
@@ -68,13 +82,13 @@ class CheckpointManager:
         hparams: Optional[Dict[str, Any]] = None,
     ) -> None:
         step = int(state.step)
-        self._mgr.save(
-            step,
-            args=ocp.args.StandardSave(
-                {"params": state.params, "opt_state": state.opt_state}
-            ),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
-        )
+        payload = {"params": state.params, "opt_state": state.opt_state}
+        m = {k: float(v) for k, v in (metrics or {}).items()}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload), metrics=m)
+        if self._best_mgr is not None and self.best_metric in m:
+            self._best_mgr.save(
+                step, args=ocp.args.StandardSave(payload), metrics=m
+            )
         if hparams is not None:
             self.meta["hparams"] = dict(hparams)
         if metrics:
@@ -85,6 +99,8 @@ class CheckpointManager:
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
 
     # -- restore ----------------------------------------------------------
     @property
@@ -93,8 +109,10 @@ class CheckpointManager:
 
     @property
     def best_step(self) -> Optional[int]:
+        if self._best_mgr is None:
+            return None
         try:
-            return self._mgr.best_step()
+            return self._best_mgr.best_step()
         except Exception:
             return None
 
@@ -103,16 +121,19 @@ class CheckpointManager:
         best: bool = False,
     ) -> TrainState:
         """Restore into the structure of ``state`` (shapes/shardings kept)."""
+        mgr = self._mgr
         if step is None:
-            step = self.best_step if best else self.latest_step
+            if best:
+                step = self.best_step
+                mgr = self._best_mgr or self._mgr
+            else:
+                step = self.latest_step
         if step is None:
             raise FileNotFoundError(
                 f"no checkpoint found under {self.directory}"
             )
         target = {"params": state.params, "opt_state": state.opt_state}
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(target)
-        )
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
         return TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
@@ -121,3 +142,5 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()

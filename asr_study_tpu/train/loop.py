@@ -13,7 +13,6 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 from asr_study_tpu.data.prefetch import device_prefetch
 from asr_study_tpu.train.checkpoint import CheckpointManager

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Internal benchmark: CTC decoding throughput, greedy vs. prefix beam
+search at several widths (BASELINE config 4).
+
+    python benchmarks/bench_decode.py [--widths 4 16 64] [--batch 32]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from asr_study_tpu.ops import beam_search_decode, greedy_decode  # noqa: E402
+
+HOP_S = 0.01
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--time", type=int, default=512)
+    ap.add_argument("--vocab", type=int, default=28)
+    ap.add_argument("--widths", type=int, nargs="*", default=[4, 16])
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(
+        rng.randn(args.batch, args.time, args.vocab).astype(np.float32)
+    )
+    lengths = jnp.full((args.batch,), args.time, jnp.int32)
+    audio_s = args.batch * args.time * HOP_S
+
+    def timed(fn):
+        out = fn()
+        jax.tree_util.tree_map(np.asarray, out)  # fetch = completion
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.tree_util.tree_map(np.asarray, out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    g = jax.jit(lambda: greedy_decode(logits, lengths))
+    results = {"greedy": round(audio_s / timed(g), 1)}
+    for w in args.widths:
+        f = jax.jit(
+            lambda w=w: beam_search_decode(logits, lengths, beam_width=w)
+        )
+        results[f"beam{w}"] = round(audio_s / timed(f), 1)
+    print(json.dumps({
+        "metric": "decode_rtf", "unit": "x_realtime_per_chip",
+        "batch": args.batch, "time": args.time, **results,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,7 +1,6 @@
 """CLI plumbing: arg parsing, make_dataset main, registry error UX."""
 
 import json
-import os
 
 import h5py
 import pytest

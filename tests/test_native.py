@@ -1,8 +1,6 @@
 """Native C++ host runtime (wav decode, batch pack, levenshtein) vs. the
 Python fallbacks."""
 
-import os
-
 import numpy as np
 import pytest
 

@@ -4,7 +4,6 @@ forward parity, gradient parity through custom_vjp, mask semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from asr_study_tpu.models.cells import LSTMCell
 from asr_study_tpu.models.rnn import scan_cell

@@ -168,6 +168,32 @@ class TestCheckpoint:
         mgr.close()
 
 
+class TestCheckpointRetention:
+    def test_latest_survives_worse_metrics(self, tmp_path):
+        """Regression: a best_fn-managed single store deletes newer-but-
+        worse checkpoints, silently breaking resume-from-latest (observed:
+        150-epoch run resumed at step 96)."""
+        _, trainer = _toy_trainer(donate=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        mgr = CheckpointManager(str(tmp_path / "run"), max_to_keep=2)
+        # val_loss IMPROVES then WORSENS: best is step 2, latest must be 4
+        vals = [3.0, 1.0, 2.5, 4.0]
+        for v in vals:
+            state, _ = trainer.train_step(
+                state, b["inputs"], b["input_lengths"], b["labels"],
+                b["label_lengths"], b["weights"], jax.random.PRNGKey(2),
+            )
+            mgr.save(state, metrics={"val_loss": v})
+        mgr.wait()
+        assert mgr.latest_step == 4
+        assert mgr.best_step == 2
+        fresh = trainer.init_state(jax.random.PRNGKey(9), input_dim=5)
+        assert int(mgr.restore(fresh).step) == 4
+        assert int(mgr.restore(fresh, best=True).step) == 2
+        mgr.close()
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_dummy_corpus_pipeline(self, tmp_path):
