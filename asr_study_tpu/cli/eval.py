@@ -63,6 +63,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--beam_width", type=int, default=0,
                    help="0 = greedy decode, >0 = prefix beam search")
+    p.add_argument("--beam_prune", type=int, default=0,
+                   help="expand only the per-frame top-K chars (0 = exact)")
     p.add_argument("--best", action="store_true",
                    help="use best (val_loss) checkpoint instead of latest")
     p.add_argument("--dump", default=None,
@@ -109,7 +111,7 @@ def main(argv=None) -> int:
         if args.beam_width > 0:
             dec, lens, _ = beam_search_decode(
                 logits, b.input_lengths, beam_width=args.beam_width,
-                blank_id=model.blank_id,
+                blank_id=model.blank_id, prune=args.beam_prune,
             )
             dec, lens = dec[:, 0], lens[:, 0]
         else:

@@ -21,9 +21,12 @@ import jax.numpy as jnp
 from asr_study_tpu.models import nn
 from asr_study_tpu.models.cells import GRUCell, LSTMCell, make_cell
 
-# Recurrence backend: 'auto' uses the fused Pallas LSTM kernel on TPU for
-# plain MXU-aligned LSTM cells, lax.scan otherwise. Override with
-# ASR_RNN_BACKEND=scan|pallas|auto.
+# Recurrence backend: 'auto' (default) uses the fused Pallas kernels
+# (ops/pallas_lstm.py / pallas_gru.py) on TPU for plain MXU-aligned cells,
+# lax.scan otherwise; 'scan'/'pallas' force a backend.  Measured on v5e
+# (back-to-back full-pipeline runs): chunked pallas 1101x RTF vs scan 607x.
+# The chunking matters — one-frame-per-grid-step kernels measured 120x
+# (per-step block DMA dominates).  Override with ASR_RNN_BACKEND.
 RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
 
 

@@ -50,10 +50,13 @@ def _decode_single(
     beam_width: int,
     blank_id: int,
     pad_id: int,
+    prune: int = 0,         # 0 = exact; else expand only the per-frame
+                            # top-`prune` characters (standard pruning)
 ):
     t_max, vocab = log_probs.shape
     n_char = vocab - 1                      # extensions exclude the blank
-    n_cand = beam_width * (1 + n_char)
+    n_ext = n_char if prune <= 0 else min(prune, n_char)
+    n_cand = beam_width * (1 + n_ext)
     w_idx = jnp.arange(beam_width)
 
     prefixes0 = jnp.full((beam_width, t_max), pad_id, jnp.int32)
@@ -67,12 +70,16 @@ def _decode_single(
         _HASH_INIT
     )
 
-    chars = jnp.arange(n_char, dtype=jnp.int32)             # [C]
-
     def step(state, inp):
         prefixes, lengths, last, p_b, p_nb, hashes = state
         lp, valid = inp                                      # [V], scalar
         lp_blank = lp[blank_id]
+        if n_ext < n_char:
+            lp_c_1d, chars = jax.lax.top_k(lp[:n_char], n_ext)
+            chars = chars.astype(jnp.int32)
+        else:
+            chars = jnp.arange(n_char, dtype=jnp.int32)
+            lp_c_1d = lp[:n_char]
 
         # --- candidate scores -------------------------------------------
         p_tot = _logadd(p_b, p_nb)                           # [W]
@@ -83,8 +90,8 @@ def _decode_single(
         )
         stay_pnb = p_nb + lp_last                            # [W]
         # extend with char c: via-blank only if c == last, else from both
-        lp_c = lp[:n_char][None, :]                          # [1, C]
-        is_last = chars[None, :] == last[:, None]            # [W, C]
+        lp_c = lp_c_1d[None, :]                              # [1, E]
+        is_last = chars[None, :] == last[:, None]            # [W, E]
         ext_pnb = jnp.where(is_last, p_b[:, None], p_tot[:, None]) + lp_c
         ext_pb = jnp.full_like(ext_pnb, LOG_EPS)
 
@@ -117,14 +124,14 @@ def _decode_single(
         # --- keep top W -------------------------------------------------
         top_score, top_pos = jax.lax.top_k(score, beam_width)
         sel = perm[top_pos]                                  # candidate ids
-        parent = sel // (1 + n_char)
-        action = sel % (1 + n_char)                          # 0=stay, else c+1
+        parent = sel // (1 + n_ext)
+        action = sel % (1 + n_ext)               # 0=stay, else chars[a-1]
 
         new_prefixes = prefixes[parent]
         new_lengths = lengths[parent]
         new_last = last[parent]
         par_len = new_lengths
-        ext_char = (action - 1).astype(jnp.int32)
+        ext_char = chars[jnp.maximum(action - 1, 0)].astype(jnp.int32)
         is_ext = action > 0
         onehot_pos = (
             jnp.arange(t_max)[None, :] == par_len[:, None]
@@ -169,12 +176,18 @@ def beam_search_decode(
     blank_id: Optional[int] = None,
     pad_id: int = -1,
     top_paths: int = 1,
+    prune: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """CTC prefix beam search over a batch.
 
     Returns (decoded [B, P, T], lengths [B, P], log_scores [B, P]) with
     ``P = top_paths`` beams ordered best-first — the shape of the reference's
     ``decode(..., beam_width=..., top_paths=...)`` API.
+
+    ``prune > 0`` expands only the per-frame top-``prune`` characters
+    (standard prefix-beam pruning): candidate count drops from
+    W*(1+|V|-1) to W*(1+prune), a large speedup at negligible accuracy
+    cost when the acoustic posteriors are peaked.
     """
     vocab = logits.shape[-1]
     if blank_id is None:
@@ -185,7 +198,9 @@ def beam_search_decode(
     log_probs = jnp.transpose(log_probs, (1, 0, 2))          # time-major
 
     def one(lp_t, ln):
-        return _decode_single(lp_t, ln, beam_width, blank_id, pad_id)
+        return _decode_single(
+            lp_t, ln, beam_width, blank_id, pad_id, prune=prune
+        )
 
     prefixes, lengths, scores = jax.vmap(one, in_axes=(1, 0))(
         log_probs, logit_lengths.astype(jnp.int32)

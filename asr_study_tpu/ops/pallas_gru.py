@@ -37,109 +37,132 @@ def _gru_gates(xp_t, h_prev, wh_ref, hidden):
     return r, z, n, hn
 
 
-def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, h_scr, *, hidden: int):
+def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, h_scr,
+                *, hidden: int, chunk: int):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
 
-    h_prev = h_scr[...]
-    r, z, n, _ = _gru_gates(xp_ref[0], h_prev, wh_ref, hidden)
-    h = (1.0 - z) * n + z * h_prev
-    m = mask_ref[0]
-    h = jnp.where(m > 0, h, h_prev)
-    h_scr[...] = h
-    h_out_ref[0] = h
+    def body(i, h_prev):
+        r, z, n, _ = _gru_gates(xp_ref[i], h_prev, wh_ref, hidden)
+        h = (1.0 - z) * n + z * h_prev
+        m = mask_ref[i]
+        h = jnp.where(m > 0, h, h_prev)
+        h_out_ref[i] = h
+        return h
+
+    h_scr[...] = jax.lax.fori_loop(0, chunk, body, h_scr[...])
 
 
 def _bwd_kernel(xp_ref, mask_ref, hprev_ref, dh_out_ref, wh_ref, wht_ref,
-                dxp_ref, dhp_ref, dh_scr, *, hidden: int):
+                dxp_ref, dhp_ref, dh_scr, *, hidden: int, chunk: int):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
-    h_prev = hprev_ref[0]
-    m = mask_ref[0]
-    r, z, n, hn = _gru_gates(xp_ref[0], h_prev, wh_ref, hidden)
+    def body(k, dh_next):
+        i = chunk - 1 - k
+        h_prev = hprev_ref[i]
+        m = mask_ref[i]
+        r, z, n, hn = _gru_gates(xp_ref[i], h_prev, wh_ref, hidden)
 
-    dh = dh_out_ref[0] + dh_scr[...]
-    dz = dh * (h_prev - n)
-    dn = dh * (1.0 - z)
-    dpre_n = dn * (1.0 - n * n)
-    dr = dpre_n * hn
-    dpre_r = dr * r * (1.0 - r)
-    dpre_z = dz * z * (1.0 - z)
-    dxp = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
-    dhp = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
-    dxp = jnp.where(m > 0, dxp, 0.0)
-    dhp = jnp.where(m > 0, dhp, 0.0)
-    dh_rec = jnp.dot(
-        dhp, wht_ref[...],
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
-    dh_prev = dh_rec + jnp.where(m > 0, dh * z, dh)
-    dh_scr[...] = dh_prev
-    dxp_ref[0] = dxp
-    dhp_ref[0] = dhp
+        dh = dh_out_ref[i] + dh_next
+        dz = dh * (h_prev - n)
+        dn = dh * (1.0 - z)
+        dpre_n = dn * (1.0 - n * n)
+        dr = dpre_n * hn
+        dpre_r = dr * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dxp = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+        dhp = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
+        dxp = jnp.where(m > 0, dxp, 0.0)
+        dhp = jnp.where(m > 0, dhp, 0.0)
+        dh_rec = jnp.dot(
+            dhp, wht_ref[...],
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        dh_prev = dh_rec + jnp.where(m > 0, dh * z, dh)
+        dxp_ref[i] = dxp
+        dhp_ref[i] = dhp
+        return dh_prev
+
+    dh_scr[...] = jax.lax.fori_loop(0, chunk, body, dh_scr[...])
 
 
 def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
+    from asr_study_tpu.ops.pallas_lstm import _CHUNK, _pad_time
+
     t_steps, batch, gh = xp.shape
-    kernel = functools.partial(_fwd_kernel, hidden=hidden)
+    chunk = min(_CHUNK, t_steps)
+    t_pad = -(-t_steps // chunk) * chunk
+    xp_p = _pad_time(xp, t_pad)
+    mask_p = _pad_time(mask, t_pad)
+    kernel = functools.partial(_fwd_kernel, hidden=hidden, chunk=chunk)
     return pl.pallas_call(
         kernel,
-        grid=(t_steps,),
+        grid=(t_pad // chunk,),
         in_specs=[
-            pl.BlockSpec((1, batch, gh), lambda t: (t, 0, 0),
+            pl.BlockSpec((chunk, batch, gh), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((chunk, batch, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, batch, hidden), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((chunk, batch, hidden), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_steps, batch, hidden), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
         interpret=interpret,
-    )(xp, mask, wh)
+    )(xp_p, mask_p, wh)
 
 
 def _bwd_call(xp, mask, h_seq, dh_out, wh, hidden: int, interpret: bool):
+    from asr_study_tpu.ops.pallas_lstm import _bwd_chunk, _pad_time
+
     t_steps, batch, gh = xp.shape
+    t_pad = h_seq.shape[0]
+    chunk = _bwd_chunk(t_pad)
+    n_chunks = t_pad // chunk
     wht = wh.T
-    rev = lambda t: (t_steps - 1 - t, 0, 0)          # noqa: E731
-    kernel = functools.partial(_bwd_kernel, hidden=hidden)
+    xp_p = _pad_time(xp, t_pad)
+    mask_p = _pad_time(mask, t_pad)
+    dh_out_p = _pad_time(dh_out, t_pad)
+    rev = lambda t: (n_chunks - 1 - t, 0, 0)         # noqa: E731
+    kernel = functools.partial(_bwd_kernel, hidden=hidden, chunk=chunk)
     zero = jnp.zeros((1, batch, hidden), jnp.float32)
     h_prev_seq = jnp.concatenate([zero, h_seq[:-1]], axis=0)
     dxp, dhp = pl.pallas_call(
         kernel,
-        grid=(t_steps,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, batch, gh), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gh, hidden), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, batch, gh), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, gh), rev, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_steps, batch, gh), jnp.float32),
-            jax.ShapeDtypeStruct((t_steps, batch, gh), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, gh), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, gh), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
         interpret=interpret,
-    )(xp, mask, h_prev_seq, dh_out, wh, wht)
-    return dxp, dhp, h_prev_seq
+    )(xp_p, mask_p, h_prev_seq, dh_out_p, wh, wht)
+    return dxp[:t_steps], dhp[:t_steps], h_prev_seq[:t_steps]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -151,12 +174,13 @@ def pallas_gru(xp, mask, wh, hidden: int, interpret: bool = False):
     wh:   [H, 3H]    float32
     ->    h_seq [T, B, H]
     """
-    return _fwd_call(xp, mask, wh, hidden, interpret)
+    return _fwd_call(xp, mask, wh, hidden, interpret)[: xp.shape[0]]
 
 
 def _pallas_gru_fwd(xp, mask, wh, hidden, interpret):
     h_seq = _fwd_call(xp, mask, wh, hidden, interpret)
-    return h_seq, (xp, mask, wh, h_seq)
+    # residuals stay time-padded for the chunked backward kernel
+    return h_seq[: xp.shape[0]], (xp, mask, wh, h_seq)
 
 
 def _pallas_gru_bwd(hidden, interpret, res, dh_out):

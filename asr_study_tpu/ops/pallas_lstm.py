@@ -32,18 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, c_out_ref,
-                h_scr, c_scr, *, hidden: int):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        h_scr[...] = jnp.zeros_like(h_scr)
-        c_scr[...] = jnp.zeros_like(c_scr)
-
-    h_prev = h_scr[...]
-    c_prev = c_scr[...]
-    gates = xp_ref[0] + jnp.dot(
+def _lstm_cell_math(xp_t, h_prev, c_prev, m, wh_ref, hidden):
+    gates = xp_t + jnp.dot(
         h_prev, wh_ref[...],
         preferred_element_type=jnp.float32, precision=_PREC,
     )                                                   # [B, 4H]
@@ -53,111 +43,180 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, c_out_ref,
     o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
     c = f * c_prev + i * g
     h = o * jnp.tanh(c)
-    m = mask_ref[0]                                     # [B, 1]
     h = jnp.where(m > 0, h, h_prev)
     c = jnp.where(m > 0, c, c_prev)
+    return h, c
+
+
+def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, c_out_ref,
+                h_scr, c_scr, *, hidden: int, chunk: int):
+    """One grid step advances ``chunk`` frames: the [chunk, B, 4H] xp block
+    is DMA'd once (pipelined with the previous step's compute) and the
+    inner fori_loop runs the recurrence register-resident."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    def body(i, carry):
+        h_prev, c_prev = carry
+        h, c = _lstm_cell_math(
+            xp_ref[i], h_prev, c_prev, mask_ref[i], wh_ref, hidden
+        )
+        h_out_ref[i] = h
+        c_out_ref[i] = c
+        return (h, c)
+
+    h, c = jax.lax.fori_loop(
+        0, chunk, body, (h_scr[...], c_scr[...])
+    )
     h_scr[...] = h
     c_scr[...] = c
-    h_out_ref[0] = h
-    c_out_ref[0] = c
 
 
 def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
-                wh_ref, wht_ref, dxp_ref, dh_scr, dc_scr, *, hidden: int):
-    t = pl.program_id(0)                 # 0 .. T-1, walking time BACKWARD
+                wh_ref, wht_ref, dxp_ref, dh_scr, dc_scr,
+                *, hidden: int, chunk: int):
+    """Grid walks time backward, ``chunk`` frames per step; block index
+    maps deliver time-reversed chunks whose ROWS are still forward-ordered,
+    so the inner loop runs i = chunk-1 .. 0."""
+    t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
-    c_t = c_ref[0]
-    m = mask_ref[0]                                     # [B, 1]
+    def body(k, carry):
+        i = chunk - 1 - k
+        dh_next, dc_next = carry
+        h_prev = hprev_ref[i]
+        c_prev = cprev_ref[i]
+        c_t = c_ref[i]
+        m = mask_ref[i]                                 # [B, 1]
 
-    # recompute gate activations (cheaper than storing [T, B, 4H])
-    gates = xp_ref[0] + jnp.dot(
-        h_prev, wh_ref[...],
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
-    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        # recompute gate activations (cheaper than storing [T, B, 4H])
+        gates = xp_ref[i] + jnp.dot(
+            h_prev, wh_ref[...],
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        ii = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
 
-    dh = dh_out_ref[0] + dh_scr[...]
-    dc_in = dc_scr[...]
-    tc = jnp.tanh(c_t)
-    do = dh * tc
-    dc = dc_in + dh * o * (1.0 - tc * tc)
-    di = dc * g
-    df = dc * c_prev
-    dg = dc * i
-    dpre = jnp.concatenate(
-        [
-            di * i * (1.0 - i),
-            df * f * (1.0 - f),
-            dg * (1.0 - g * g),
-            do * o * (1.0 - o),
-        ],
-        axis=-1,
-    )                                                    # [B, 4H]
-    dpre = jnp.where(m > 0, dpre, 0.0)
-    dh_rec = jnp.dot(
-        dpre, wht_ref[...],
-        preferred_element_type=jnp.float32, precision=_PREC,
+        dh = dh_out_ref[i] + dh_next
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * ii
+        dpre = jnp.concatenate(
+            [
+                di * ii * (1.0 - ii),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )                                                # [B, 4H]
+        dpre = jnp.where(m > 0, dpre, 0.0)
+        dh_rec = jnp.dot(
+            dpre, wht_ref[...],
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        # masked frames pass state (and its cotangent) straight through
+        dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
+        dc_prev = jnp.where(m > 0, dc * f, dc)
+        dxp_ref[i] = dpre
+        return (dh_prev, dc_prev)
+
+    dh, dc = jax.lax.fori_loop(
+        0, chunk, body, (dh_scr[...], dc_scr[...])
     )
-    # masked frames pass state (and its cotangent) straight through
-    dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
-    dc_prev = jnp.where(m > 0, dc * f, dc)
-    dh_scr[...] = dh_prev
-    dc_scr[...] = dc_prev
-    dxp_ref[0] = dpre
+    dh_scr[...] = dh
+    dc_scr[...] = dc
+
+
+# frames per grid step: amortizes per-block DMA latency over the chunk
+# (one-frame steps measured 8x slower end-to-end on v5e)
+_CHUNK = 32
+# the backward kernel streams ~4x more blocks per step (xp, h/c residuals,
+# dh_out, dxp) — a 32-frame chunk double-buffers right past the 16 MB VMEM
+# limit (observed marginal OOM), so it uses a smaller chunk
+_CHUNK_BWD = 8
+
+
+def _bwd_chunk(t_pad: int) -> int:
+    """Largest chunk <= _CHUNK_BWD that divides the padded length."""
+    for c in range(min(_CHUNK_BWD, t_pad), 0, -1):
+        if t_pad % c == 0:
+            return c
+    return 1
+
+
+def _pad_time(x, t_pad):
+    t = x.shape[0]
+    if t == t_pad:
+        return x
+    return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
 
 
 def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
     t_steps, batch, gh = xp.shape
+    chunk = min(_CHUNK, t_steps)
+    t_pad = -(-t_steps // chunk) * chunk
+    xp_p = _pad_time(xp, t_pad)
+    mask_p = _pad_time(mask, t_pad)  # zero mask on padding: state holds
 
-    kernel = functools.partial(_fwd_kernel, hidden=hidden)
+    kernel = functools.partial(_fwd_kernel, hidden=hidden, chunk=chunk)
     h_seq, c_seq = pl.pallas_call(
         kernel,
-        grid=(t_steps,),
+        grid=(t_pad // chunk,),
         in_specs=[
-            pl.BlockSpec((1, batch, gh), lambda t: (t, 0, 0),
+            pl.BlockSpec((chunk, batch, gh), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((chunk, batch, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, batch, hidden), lambda t: (t, 0, 0),
+            pl.BlockSpec((chunk, batch, hidden), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), lambda t: (t, 0, 0),
+            pl.BlockSpec((chunk, batch, hidden), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_steps, batch, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_steps, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((batch, hidden), jnp.float32),
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, mask, wh)
-    return h_seq, c_seq
+    )(xp_p, mask_p, wh)
+    return h_seq, c_seq  # padded to t_pad; callers slice
 
 
 def _bwd_call(xp, mask, h_seq, c_seq, dh_out, wh, hidden: int,
               interpret: bool):
-    t_steps, batch, gh = xp.shape
+    t_steps, batch, gh = xp.shape            # original (unpadded) length
+    t_pad = h_seq.shape[0]                   # fwd residuals are padded
+    chunk = _bwd_chunk(t_pad)
+    n_chunks = t_pad // chunk
     wht = wh.T
+    xp_p = _pad_time(xp, t_pad)
+    mask_p = _pad_time(mask, t_pad)
+    dh_out_p = _pad_time(dh_out, t_pad)
 
-    rev = lambda t: (t_steps - 1 - t, 0, 0)          # noqa: E731
+    rev = lambda t: (n_chunks - 1 - t, 0, 0)         # noqa: E731
 
-    kernel = functools.partial(_bwd_kernel, hidden=hidden)
+    kernel = functools.partial(_bwd_kernel, hidden=hidden, chunk=chunk)
     # h_prev/c_prev as explicitly shifted sequences (zero initial state),
     # so every grid step reads plain time-reversed blocks.
     zero = jnp.zeros((1, batch, hidden), jnp.float32)
@@ -166,29 +225,33 @@ def _bwd_call(xp, mask, h_seq, c_seq, dh_out, wh, hidden: int,
 
     dxp = pl.pallas_call(
         kernel,
-        grid=(t_steps,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, batch, gh), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gh, hidden), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, batch, gh), rev,
+        out_specs=pl.BlockSpec((chunk, batch, gh), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_steps, batch, gh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, gh), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((batch, hidden), jnp.float32),
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, mask, h_prev_seq, c_prev_seq, c_seq, dh_out, wh, wht)
-    return dxp, h_prev_seq
+    )(xp_p, mask_p, h_prev_seq, c_prev_seq, c_seq, dh_out_p, wh, wht)
+    return dxp[:t_steps], h_prev_seq[:t_steps]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -201,12 +264,13 @@ def pallas_lstm(xp, mask, wh, hidden: int, interpret: bool = False):
     ->    h_seq [T, B, H] (zero initial state; masked frames hold state)
     """
     h_seq, _ = _fwd_call(xp, mask, wh, hidden, interpret)
-    return h_seq
+    return h_seq[: xp.shape[0]]
 
 
 def _pallas_lstm_fwd(xp, mask, wh, hidden, interpret):
     h_seq, c_seq = _fwd_call(xp, mask, wh, hidden, interpret)
-    return h_seq, (xp, mask, wh, h_seq, c_seq)
+    # residuals stay time-padded for the chunked backward kernel
+    return h_seq[: xp.shape[0]], (xp, mask, wh, h_seq, c_seq)
 
 
 def _pallas_lstm_bwd(hidden, interpret, res, dh_out):

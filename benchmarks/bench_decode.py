@@ -28,6 +28,7 @@ def main() -> int:
     ap.add_argument("--time", type=int, default=512)
     ap.add_argument("--vocab", type=int, default=28)
     ap.add_argument("--widths", type=int, nargs="*", default=[4, 16])
+    ap.add_argument("--prune", type=int, default=0)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -53,9 +54,12 @@ def main() -> int:
     results = {"greedy": round(audio_s / timed(g), 1)}
     for w in args.widths:
         f = jax.jit(
-            lambda w=w: beam_search_decode(logits, lengths, beam_width=w)
+            lambda w=w: beam_search_decode(
+                logits, lengths, beam_width=w, prune=args.prune
+            )
         )
-        results[f"beam{w}"] = round(audio_s / timed(f), 1)
+        tag = f"beam{w}" + (f"_p{args.prune}" if args.prune else "")
+        results[tag] = round(audio_s / timed(f), 1)
     print(json.dumps({
         "metric": "decode_rtf", "unit": "x_realtime_per_chip",
         "batch": args.batch, "time": args.time, **results,

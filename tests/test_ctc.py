@@ -206,6 +206,29 @@ class TestBeamSearch:
                 float(scores[0, p]), want[p][1], rtol=1e-4, atol=1e-4
             )
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_pruned_matches_exact_when_unpruned(self, seed):
+        key = jax.random.PRNGKey(seed)
+        logits = jax.random.normal(key, (2, 8, 5)) * 2.0
+        lens = jnp.array([8, 6])
+        exact = beam_search_decode(logits, lens, beam_width=6, top_paths=2)
+        full_prune = beam_search_decode(
+            logits, lens, beam_width=6, top_paths=2, prune=4  # == |V|-1
+        )
+        for a, b in zip(exact, full_prune):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_pruned_still_decodes_peaked_logits(self):
+        # strongly peaked posteriors: prune=2 must recover the exact result
+        ids = jnp.array([[0, 0, 2, 1, 2, 1, 1, 2]])
+        logits = jax.nn.one_hot(ids, 3) * 8.0
+        lens = jnp.array([8])
+        exact = beam_search_decode(logits, lens, beam_width=4)
+        pruned = beam_search_decode(logits, lens, beam_width=4, prune=1)
+        np.testing.assert_array_equal(
+            np.asarray(exact[0]), np.asarray(pruned[0])
+        )
+
     def test_beats_or_matches_greedy(self):
         key = jax.random.PRNGKey(7)
         logits = jax.random.normal(key, (2, 10, 5))

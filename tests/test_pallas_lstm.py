@@ -120,6 +120,40 @@ class TestGradients:
                 np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4
             )
 
+    def test_multi_chunk_with_padding(self, monkeypatch):
+        """T not a multiple of the chunk: padded tail + reversed-chunk
+        backward walk must still match the scan path."""
+        from asr_study_tpu.ops import pallas_lstm as mod
+
+        monkeypatch.setattr(mod, "_CHUNK", 5)      # T=12 -> chunks of 5, pad
+        cell, params, x, xp, mask = _setup(seed=4, t=12)
+
+        def loss_pal(xp, wh):
+            h = mod.pallas_lstm(xp, mask[..., None], wh, cell.hidden,
+                                interpret=True)
+            return jnp.sum((h * mask[..., None]) ** 2)
+
+        def loss_ref(xp_nobias, wh):
+            p = dict(params, wh=wh)
+            h = scan_cell(cell, p, xp_nobias, mask[..., None],
+                          backend="scan")
+            return jnp.sum(h ** 2)
+
+        xp_nobias = cell.input_proj(params, x)
+        v_pal, g_pal = jax.value_and_grad(loss_pal, argnums=(0, 1))(
+            xp, params["wh"]
+        )
+        v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+            xp_nobias, params["wh"]
+        )
+        np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_pal[0]), np.asarray(g_ref[0]), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
+        )
+
     def test_full_length_grads(self):
         cell, params, x, _, _ = _setup(seed=3)
         t, b = x.shape[0], x.shape[1]

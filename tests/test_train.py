@@ -168,6 +168,30 @@ class TestCheckpoint:
         mgr.close()
 
 
+class TestProfileFlag:
+    def test_profiler_trace_written(self, tmp_path):
+        """fit(profile=True) captures a jax.profiler trace without crashing
+        (SURVEY.md §5.1 — the tracing hook the reference never had)."""
+        from asr_study_tpu.data.generator import DatasetGenerator
+
+        _, trainer = _toy_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        rng = np.random.RandomState(0)
+        feats = [rng.randn(12, 5).astype(np.float32) for _ in range(8)]
+        labels = [rng.randint(0, 4, size=3).astype(np.int32) for _ in range(8)]
+        gen = DatasetGenerator(batch_size=4, min_time=12, time_multiple=4)
+        it = gen.flow(feats, labels)
+        from asr_study_tpu.train.loop import fit
+
+        fit(
+            trainer, state, it, epochs=8, log_dir=str(tmp_path),
+            profile=True, profile_steps=(2, 4), log_every=100,
+        )
+        trace_dir = tmp_path / "trace"
+        assert trace_dir.exists()
+        assert any(trace_dir.rglob("*"))
+
+
 class TestCheckpointRetention:
     def test_latest_survives_worse_metrics(self, tmp_path):
         """Regression: a best_fn-managed single store deletes newer-but-
