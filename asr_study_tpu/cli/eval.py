@@ -65,6 +65,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="0 = greedy decode, >0 = prefix beam search")
     p.add_argument("--beam_prune", type=int, default=0,
                    help="expand only the per-frame top-K chars (0 = exact)")
+    p.add_argument("--blank_collapse", type=float, default=0.0,
+                   help="collapse blank runs with posterior >= this "
+                        "threshold before beam decoding (0 = off)")
     p.add_argument("--best", action="store_true",
                    help="use best (val_loss) checkpoint instead of latest")
     p.add_argument("--dump", default=None,
@@ -109,8 +112,16 @@ def main(argv=None) -> int:
         tot_loss += float(loss) * n
         tot_n += n
         if args.beam_width > 0:
+            dec_logits, dec_lengths = logits, b.input_lengths
+            if args.blank_collapse > 0:
+                from asr_study_tpu.ops import blank_collapse
+
+                dec_logits, dec_lengths = blank_collapse(
+                    logits, b.input_lengths, blank_id=model.blank_id,
+                    threshold=args.blank_collapse,
+                )
             dec, lens, _ = beam_search_decode(
-                logits, b.input_lengths, beam_width=args.beam_width,
+                dec_logits, dec_lengths, beam_width=args.beam_width,
                 blank_id=model.blank_id, prune=args.beam_prune,
             )
             dec, lens = dec[:, 0], lens[:, 0]

@@ -5,11 +5,12 @@ Replaces the reference's delegation to TF's C++ CTC / edit-distance ops
 (log-semiring scans, fully jittable / vmappable / differentiable).
 """
 
-from asr_study_tpu.ops.ctc import ctc_loss, greedy_decode
+from asr_study_tpu.ops.ctc import blank_collapse, ctc_loss, greedy_decode
 from asr_study_tpu.ops.beam import beam_search_decode
 from asr_study_tpu.ops.metrics import edit_distance, ler, wer
 
 __all__ = [
+    "blank_collapse",
     "ctc_loss",
     "greedy_decode",
     "beam_search_decode",

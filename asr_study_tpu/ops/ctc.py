@@ -121,6 +121,44 @@ def ctc_loss_mean(
     return jnp.sum(per_seq * weights) / denom
 
 
+def blank_collapse(
+    logits: jax.Array,          # [B, T, V]
+    logit_lengths: jax.Array,   # [B]
+    blank_id: Optional[int] = None,
+    threshold: float = 0.99,
+    keep_ratio: float = 0.6,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compress CTC emissions by collapsing runs of blank-dominated frames
+    to a single frame (Blank Collapse, arXiv:2210.17017 — near-lossless:
+    consecutive frames where the blank posterior dominates only carry
+    repeat-separator information, so one survivor per run suffices).
+
+    TPU adaptation: static output shape ``T2 = ceil(T * keep_ratio)``.
+    Kept frames are left-packed; in the rare case an utterance keeps more
+    than T2 frames, the EARLIEST frames win and the overflow is dropped
+    (choose keep_ratio with headroom; trained acoustic models emit 60-80%%
+    blanks).  Returns (packed logits [B, T2, V], new lengths [B]).  Apply
+    before ``beam_search_decode`` to cut decode cost by ~1/keep_ratio.
+    """
+    batch, t_max, vocab = logits.shape
+    if blank_id is None:
+        blank_id = vocab - 1
+    t2 = max(1, int(-(-t_max * keep_ratio // 1)))
+    probs = jax.nn.softmax(logits, axis=-1)
+    valid = jnp.arange(t_max)[None, :] < logit_lengths[:, None]
+    blankish = probs[:, :, blank_id] >= threshold            # [B, T]
+    prev_blankish = jnp.pad(
+        blankish, ((0, 0), (1, 0)), constant_values=False
+    )[:, :t_max]
+    # keep every non-blank frame + the first frame of each blank run
+    keep = valid & (~blankish | ~prev_blankish)              # [B, T]
+    key = jnp.where(keep, jnp.arange(t_max)[None, :], t_max)
+    order = jnp.argsort(key, axis=1, stable=True)[:, :t2]    # [B, T2]
+    packed = jnp.take_along_axis(logits, order[..., None], axis=1)
+    new_lengths = jnp.minimum(jnp.sum(keep, axis=1), t2).astype(jnp.int32)
+    return packed, new_lengths
+
+
 def greedy_decode(
     logits: jax.Array,          # [B, T, V]
     logit_lengths: jax.Array,   # [B]

@@ -29,13 +29,18 @@ def main() -> int:
     ap.add_argument("--vocab", type=int, default=28)
     ap.add_argument("--widths", type=int, nargs="*", default=[4, 16])
     ap.add_argument("--prune", type=int, default=0)
+    ap.add_argument("--collapse", type=float, default=0.0,
+                    help="blank-collapse threshold (0 = off)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
-    logits = jnp.asarray(
-        rng.randn(args.batch, args.time, args.vocab).astype(np.float32)
-    )
+    # speech-like emissions: ~65% of frames blank-dominated (a trained CTC
+    # model's posteriors), so --collapse shows its real effect
+    raw = rng.randn(args.batch, args.time, args.vocab).astype(np.float32)
+    is_blank = rng.rand(args.batch, args.time) < 0.65
+    raw[..., -1] += np.where(is_blank, 10.0, -10.0)
+    logits = jnp.asarray(raw)
     lengths = jnp.full((args.batch,), args.time, jnp.int32)
     audio_s = args.batch * args.time * HOP_S
 
@@ -52,13 +57,28 @@ def main() -> int:
 
     g = jax.jit(lambda: greedy_decode(logits, lengths))
     results = {"greedy": round(audio_s / timed(g), 1)}
+    from asr_study_tpu.ops import blank_collapse
+
     for w in args.widths:
-        f = jax.jit(
-            lambda w=w: beam_search_decode(
-                logits, lengths, beam_width=w, prune=args.prune
+        if args.collapse > 0:
+            def f(w=w):
+                lg, ln = blank_collapse(
+                    logits, lengths, threshold=args.collapse,
+                    keep_ratio=0.5,
+                )
+                return beam_search_decode(
+                    lg, ln, beam_width=w, prune=args.prune
+                )
+            f = jax.jit(f)
+        else:
+            f = jax.jit(
+                lambda w=w: beam_search_decode(
+                    logits, lengths, beam_width=w, prune=args.prune
+                )
             )
+        tag = f"beam{w}" + (f"_p{args.prune}" if args.prune else "") + (
+            f"_c{args.collapse}" if args.collapse else ""
         )
-        tag = f"beam{w}" + (f"_p{args.prune}" if args.prune else "")
         results[tag] = round(audio_s / timed(f), 1)
     print(json.dumps({
         "metric": "decode_rtf", "unit": "x_realtime_per_chip",

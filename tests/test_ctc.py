@@ -153,6 +153,51 @@ class TestGreedyDecode:
         assert dec[0].tolist() == [-1, -1, -1]
 
 
+class TestBlankCollapse:
+    def _peaked_logits(self, key, batch=2, t=20, vocab=4, blank_frac=0.6):
+        """Logits where ~blank_frac of frames are blank-dominated."""
+        k1, k2 = jax.random.split(key)
+        blank = vocab - 1
+        is_blank = jax.random.bernoulli(k1, blank_frac, (batch, t))
+        ids = jax.random.randint(k2, (batch, t), 0, vocab - 1)
+        ids = jnp.where(is_blank, blank, ids)
+        return jax.nn.one_hot(ids, vocab) * 12.0  # ~softmax prob 0.9999
+
+    def test_decode_invariant(self):
+        from asr_study_tpu.ops.ctc import blank_collapse
+
+        logits = self._peaked_logits(jax.random.PRNGKey(0))
+        lens = jnp.array([20, 15])
+        packed, new_lens = blank_collapse(logits, lens, keep_ratio=0.7)
+        assert packed.shape[1] == 14
+        # greedy transcripts identical on collapsed emissions
+        d1, l1 = greedy_decode(logits, lens)
+        d2, l2 = greedy_decode(packed, new_lens)
+        for b in range(2):
+            assert (
+                d1[b, : int(l1[b])].tolist() == d2[b, : int(l2[b])].tolist()
+            )
+        # beam transcripts identical too
+        b1, bl1, _ = beam_search_decode(logits, lens, beam_width=4)
+        b2, bl2, _ = beam_search_decode(packed, new_lens, beam_width=4)
+        for b in range(2):
+            assert (
+                b1[b, 0, : int(bl1[b, 0])].tolist()
+                == b2[b, 0, : int(bl2[b, 0])].tolist()
+            )
+
+    def test_overflow_clamps(self):
+        from asr_study_tpu.ops.ctc import blank_collapse
+
+        # nothing blank-dominated: all frames kept, clamped to T2
+        logits = jnp.zeros((1, 10, 3))  # uniform -> blank prob 1/3 < thr
+        packed, new_lens = blank_collapse(
+            logits, jnp.array([10]), keep_ratio=0.5
+        )
+        assert packed.shape[1] == 5
+        assert int(new_lens[0]) == 5
+
+
 def _py_prefix_beam(log_probs, length, beam_width, blank):
     """Dict-based reference prefix beam search (Hannun-style)."""
     beams = {(): (0.0, -np.inf)}  # prefix -> (log p_blank, log p_nonblank)
