@@ -58,8 +58,10 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
             else:
                 from asr_study_tpu.ops.pallas_gru import pallas_gru as op
 
-            xp_b = xp + params["b"]
-            m2 = mask
+            xp_b = xp.astype(jnp.float32) + params["b"].astype(jnp.float32)
+            # f32 mask: Mosaic can't compare bf16 (mixed-precision models
+            # compute masks in the compute dtype)
+            m2 = mask.astype(jnp.float32)
             if reverse:
                 xp_b, m2 = xp_b[::-1], m2[::-1]
             outs = op(

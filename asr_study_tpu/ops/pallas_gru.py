@@ -21,10 +21,9 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _gru_gates(xp_t, h_prev, wh_ref, hidden):
-    hp = jnp.dot(
-        h_prev, wh_ref[...],
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
+    from asr_study_tpu.ops.pallas_lstm import _mm
+
+    hp = _mm(h_prev, wh_ref)
     xr = xp_t[:, 0 * hidden : 1 * hidden]
     xz = xp_t[:, 1 * hidden : 2 * hidden]
     xn = xp_t[:, 2 * hidden : 3 * hidden]
@@ -81,10 +80,9 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, dh_out_ref, wh_ref, wht_ref,
         dhp = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
         dxp = jnp.where(m > 0, dxp, 0.0)
         dhp = jnp.where(m > 0, dhp, 0.0)
-        dh_rec = jnp.dot(
-            dhp, wht_ref[...],
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
+        from asr_study_tpu.ops.pallas_lstm import _mm
+
+        dh_rec = _mm(dhp, wht_ref)
         dh_prev = dh_rec + jnp.where(m > 0, dh * z, dh)
         dxp_ref[i] = dxp
         dhp_ref[i] = dhp
@@ -191,8 +189,8 @@ def _pallas_gru_bwd(hidden, interpret, res, dh_out):
     dwh = jnp.einsum(
         "tbh,tbg->hg", h_prev_seq, dhp, precision=_PREC,
         preferred_element_type=jnp.float32,
-    )
-    return dxp, jnp.zeros_like(mask), dwh
+    ).astype(wh.dtype)
+    return dxp.astype(xp.dtype), jnp.zeros_like(mask), dwh
 
 
 pallas_gru.defvjp(_pallas_gru_fwd, _pallas_gru_bwd)

@@ -32,11 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _mm(x, w_ref):
+    """Recurrent matmul in the weights' dtype with f32 accumulation.
+    HIGHEST precision only applies to f32 weights — Mosaic rejects
+    fp32-contract-precision on bf16 operands."""
+    w = w_ref[...]
+    prec = _PREC if w.dtype == jnp.float32 else None
+    return jnp.dot(
+        x.astype(w.dtype), w,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
 def _lstm_cell_math(xp_t, h_prev, c_prev, m, wh_ref, hidden):
-    gates = xp_t + jnp.dot(
-        h_prev, wh_ref[...],
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )                                                   # [B, 4H]
+    # cast to the weights' dtype: Mosaic rejects mixed f32 x bf16 matmuls,
+    # and this is exactly the bf16-mixed-precision semantics of cells._dot
+    gates = xp_t + _mm(h_prev, wh_ref)                  # [B, 4H]
     i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
     f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
@@ -98,10 +109,7 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
         m = mask_ref[i]                                 # [B, 1]
 
         # recompute gate activations (cheaper than storing [T, B, 4H])
-        gates = xp_ref[i] + jnp.dot(
-            h_prev, wh_ref[...],
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
+        gates = xp_ref[i] + _mm(h_prev, wh_ref)
         ii = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
         f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
         g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
@@ -124,10 +132,7 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
             axis=-1,
         )                                                # [B, 4H]
         dpre = jnp.where(m > 0, dpre, 0.0)
-        dh_rec = jnp.dot(
-            dpre, wht_ref[...],
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
+        dh_rec = _mm(dpre, wht_ref)
         # masked frames pass state (and its cotangent) straight through
         dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
         dc_prev = jnp.where(m > 0, dc * f, dc)
@@ -282,9 +287,9 @@ def _pallas_lstm_bwd(hidden, interpret, res, dh_out):
     dwh = jnp.einsum(
         "tbh,tbg->hg", h_prev_seq, dxp, precision=_PREC,
         preferred_element_type=jnp.float32,
-    )
+    ).astype(wh.dtype)
     dmask = jnp.zeros_like(mask)
-    return dxp, dmask, dwh
+    return dxp.astype(xp.dtype), dmask, dwh
 
 
 pallas_lstm.defvjp(_pallas_lstm_fwd, _pallas_lstm_bwd)

@@ -154,6 +154,24 @@ class TestGradients:
             np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
         )
 
+    def test_bf16_weights(self):
+        """Mixed precision: bf16 wh with f32 xp/state (the Trainer's
+        compute_dtype path) must run and produce finite grads matching the
+        scan path's bf16 numerics."""
+        cell, params, x, xp, mask = _setup(seed=5)
+        wh16 = params["wh"].astype(jnp.bfloat16)
+
+        def loss_pal(xp, wh):
+            h = pallas_lstm(xp, mask[..., None], wh, cell.hidden,
+                            interpret=True)
+            return jnp.sum((h * mask[..., None]) ** 2)
+
+        v, g = jax.value_and_grad(loss_pal, argnums=(0, 1))(xp, wh16)
+        assert np.isfinite(float(v))
+        assert g[1].dtype == jnp.bfloat16
+        for arr in g:
+            assert np.all(np.isfinite(np.asarray(arr, np.float32)))
+
     def test_full_length_grads(self):
         cell, params, x, _, _ = _setup(seed=3)
         t, b = x.shape[0], x.shape[1]
