@@ -92,10 +92,12 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, dh_out_ref, wh_ref, wht_ref,
 
 
 def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
-    from asr_study_tpu.ops.pallas_lstm import _CHUNK, _pad_time
+    from asr_study_tpu.ops.pallas_lstm import (
+        _CHUNK, _budget_chunk, _pad_time,
+    )
 
     t_steps, batch, gh = xp.shape
-    chunk = min(_CHUNK, t_steps)
+    chunk = _budget_chunk(_CHUNK, t_steps, batch * (gh + hidden) * 4)
     t_pad = -(-t_steps // chunk) * chunk
     xp_p = _pad_time(xp, t_pad)
     mask_p = _pad_time(mask, t_pad)
@@ -124,7 +126,8 @@ def _bwd_call(xp, mask, h_seq, dh_out, wh, hidden: int, interpret: bool):
 
     t_steps, batch, gh = xp.shape
     t_pad = h_seq.shape[0]
-    chunk = _bwd_chunk(t_pad)
+    # streamed per frame: xp+dxp+dhp [B, 3H] + hprev/dh_out [B, H]
+    chunk = _bwd_chunk(t_pad, batch * (3 * gh + 2 * hidden) * 4)
     n_chunks = t_pad // chunk
     wht = wh.T
     xp_p = _pad_time(xp, t_pad)

@@ -147,17 +147,26 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
 
 
 # frames per grid step: amortizes per-block DMA latency over the chunk
-# (one-frame steps measured 8x slower end-to-end on v5e)
+# (one-frame steps measured 8x slower end-to-end on v5e).  The chunk is
+# budgeted against VMEM: streamed blocks are double-buffered, and the
+# per-frame footprint scales with batch (observed OOMs: bwd at B=32/c=32
+# by 64KB; fwd at B=64/c=32 by 8MB).
 _CHUNK = 32
-# the backward kernel streams ~4x more blocks per step (xp, h/c residuals,
-# dh_out, dxp) — a 32-frame chunk double-buffers right past the 16 MB VMEM
-# limit (observed marginal OOM), so it uses a smaller chunk
 _CHUNK_BWD = 8
+_VMEM_BUDGET = 10 * 2**20   # leave headroom for weights + scratch of 16MB
 
 
-def _bwd_chunk(t_pad: int) -> int:
-    """Largest chunk <= _CHUNK_BWD that divides the padded length."""
-    for c in range(min(_CHUNK_BWD, t_pad), 0, -1):
+def _budget_chunk(cap: int, t_steps: int, per_frame_bytes: int) -> int:
+    c = min(cap, t_steps)
+    while c > 1 and c * per_frame_bytes * 2 > _VMEM_BUDGET:
+        c //= 2
+    return max(c, 1)
+
+
+def _bwd_chunk(t_pad: int, per_frame_bytes: int) -> int:
+    """Largest divisor of the padded length within the VMEM budget."""
+    cap = _budget_chunk(_CHUNK_BWD, t_pad, per_frame_bytes)
+    for c in range(cap, 0, -1):
         if t_pad % c == 0:
             return c
     return 1
@@ -172,7 +181,10 @@ def _pad_time(x, t_pad):
 
 def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
     t_steps, batch, gh = xp.shape
-    chunk = min(_CHUNK, t_steps)
+    # streamed per frame: xp [B, 4H] in + h,c [B, H] out each
+    chunk = _budget_chunk(
+        _CHUNK, t_steps, batch * (gh + 2 * hidden) * 4
+    )
     t_pad = -(-t_steps // chunk) * chunk
     xp_p = _pad_time(xp, t_pad)
     mask_p = _pad_time(mask, t_pad)  # zero mask on padding: state holds
@@ -212,7 +224,8 @@ def _bwd_call(xp, mask, h_seq, c_seq, dh_out, wh, hidden: int,
               interpret: bool):
     t_steps, batch, gh = xp.shape            # original (unpadded) length
     t_pad = h_seq.shape[0]                   # fwd residuals are padded
-    chunk = _bwd_chunk(t_pad)
+    # streamed per frame: xp+dxp [B, 4H] + hprev/cprev/c/dh_out [B, H]
+    chunk = _bwd_chunk(t_pad, batch * (2 * gh + 4 * hidden) * 4)
     n_chunks = t_pad // chunk
     wht = wh.T
     xp_p = _pad_time(xp, t_pad)
