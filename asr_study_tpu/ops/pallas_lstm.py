@@ -153,7 +153,9 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
 # by 64KB; fwd at B=64/c=32 by 8MB).
 _CHUNK = 32
 _CHUNK_BWD = 8
-_VMEM_BUDGET = 10 * 2**20   # leave headroom for weights + scratch of 16MB
+# calibrated so the validated B=32 fwd case keeps its 32-frame chunk
+# (12.58MB of double-buffered blocks ran fine) while B=64 halves
+_VMEM_BUDGET = 12 * 2**20
 
 
 def _budget_chunk(cap: int, t_steps: int, per_frame_bytes: int) -> int:
