@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import jax
 import numpy as np
@@ -68,6 +69,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--blank_collapse", type=float, default=0.0,
                    help="collapse blank runs with posterior >= this "
                         "threshold before beam decoding (0 = off)")
+    p.add_argument("--keep_ratio", type=float, default=0.6,
+                   help="static frame budget for --blank_collapse as a "
+                        "fraction of T; overflowing utterances are reported")
     p.add_argument("--best", action="store_true",
                    help="use best (val_loss) checkpoint instead of latest")
     p.add_argument("--dump", default=None,
@@ -96,29 +100,30 @@ def main(argv=None) -> int:
         args.input_parser, args.input_params,
     )
 
+    # ONE jitted program per bucket shape: forward + loss + (collapse +)
+    # decode all fuse into a single dispatch — on the remote-TPU backend the
+    # ~28 ms per-call floor makes an op-by-op decode loop dispatch-bound
+    # (CLAUDE.md), so the whole per-batch pipeline must be one call.
+    import jax.numpy as jnp
+
+    from asr_study_tpu.ops import blank_collapse
+
     @jax.jit
-    def forward(params, inputs, input_lengths):
-        return model.apply(params, inputs, input_lengths, train=False)
-
-    hyps, refs = [], []
-    tot_loss, tot_n = 0.0, 0
-    for b in it.epoch():
-        logits = forward(state.params, b.inputs, b.input_lengths)
+    def eval_batch(params, inputs, input_lengths, labels, label_lengths,
+                   weights):
+        logits = model.apply(params, inputs, input_lengths, train=False)
         loss = ctc_loss_mean(
-            logits, b.input_lengths, b.labels, b.label_lengths,
-            blank_id=model.blank_id, weights=b.weights,
+            logits, input_lengths, labels, label_lengths,
+            blank_id=model.blank_id, weights=weights,
         )
-        n = int(b.weights.sum())
-        tot_loss += float(loss) * n
-        tot_n += n
+        dropped = jnp.zeros_like(input_lengths)
         if args.beam_width > 0:
-            dec_logits, dec_lengths = logits, b.input_lengths
+            dec_logits, dec_lengths = logits, input_lengths
             if args.blank_collapse > 0:
-                from asr_study_tpu.ops import blank_collapse
-
-                dec_logits, dec_lengths = blank_collapse(
-                    logits, b.input_lengths, blank_id=model.blank_id,
+                dec_logits, dec_lengths, dropped = blank_collapse(
+                    logits, input_lengths, blank_id=model.blank_id,
                     threshold=args.blank_collapse,
+                    keep_ratio=args.keep_ratio,
                 )
             dec, lens, _ = beam_search_decode(
                 dec_logits, dec_lengths, beam_width=args.beam_width,
@@ -127,7 +132,29 @@ def main(argv=None) -> int:
             dec, lens = dec[:, 0], lens[:, 0]
         else:
             dec, lens = greedy_decode(
-                logits, b.input_lengths, blank_id=model.blank_id
+                logits, input_lengths, blank_id=model.blank_id
+            )
+        return loss, dec, lens, dropped
+
+    hyps, refs = [], []
+    tot_loss, tot_n = 0.0, 0
+    overflow_utts = 0
+    for b in it.epoch():
+        loss, dec, lens, dropped = eval_batch(
+            state.params, b.inputs, b.input_lengths, b.labels,
+            b.label_lengths, b.weights,
+        )
+        n = int(b.weights.sum())
+        tot_loss += float(loss) * n
+        tot_n += n
+        n_over = int(np.count_nonzero(np.asarray(dropped) * b.weights))
+        if n_over:
+            overflow_utts += n_over
+            print(
+                f"warning: blank_collapse dropped frames on {n_over} "
+                f"utterance(s) in this batch — raise --keep_ratio "
+                f"(currently {args.keep_ratio})",
+                file=sys.stderr,
             )
         dec, lens = np.asarray(dec), np.asarray(lens)
         for i in range(b.size):
@@ -147,6 +174,8 @@ def main(argv=None) -> int:
         "wer": wer(hyps, refs),
         "decoder": f"beam{args.beam_width}" if args.beam_width else "greedy",
     }
+    if args.blank_collapse > 0:
+        results["blank_collapse_overflow_utts"] = overflow_utts
     if args.dump:
         with open(args.dump, "w") as f:
             for h, r in zip(hyps, refs):

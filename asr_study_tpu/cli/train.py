@@ -42,8 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save", default=None,
                    help="checkpoint/log dir (default: auto-named from the "
                         "model + non-default args, like the reference)")
-    p.add_argument("--resume", action="store_true",
-                   help="resume from the latest checkpoint in --save")
+    p.add_argument("--resume", nargs="?", const="latest", default="",
+                   choices=["", "latest", "auto"],
+                   help="resume from the latest checkpoint in --save: "
+                        "'latest' (bare --resume; errors if none exists) or "
+                        "'auto' (resume when a checkpoint exists, otherwise "
+                        "start fresh — crash-safe restart loops)")
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
     p.add_argument("--seed", type=int, default=0)
@@ -122,9 +126,15 @@ def main(argv=None) -> int:
         jax.random.PRNGKey(args.seed), train_it.num_feats
     )
     ckpt = CheckpointManager(args.save)
-    if args.resume and ckpt.latest_step is not None:
-        state = ckpt.restore(state)
-        print(f"resumed from step {int(state.step)}", file=sys.stderr)
+    if args.resume:
+        if ckpt.latest_step is not None:
+            state = ckpt.restore(state)
+            print(f"resumed from step {int(state.step)}", file=sys.stderr)
+        elif args.resume == "latest":
+            raise SystemExit(
+                f"--resume: no checkpoint found in {args.save} "
+                "(use '--resume auto' to start fresh when none exists)"
+            )
 
     hparams = {
         "model": args.model, "params": args.params,

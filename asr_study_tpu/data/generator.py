@@ -60,6 +60,7 @@ class DatasetGenerator:
         time_multiple: int = 64,
         label_multiple: int = 16,
         min_time: int = 64,
+        max_in_memory_bytes: int = 512 << 20,
     ):
         self.batch_size = batch_size
         self.sort_by_duration = sort_by_duration
@@ -67,18 +68,33 @@ class DatasetGenerator:
         self.time_multiple = time_multiple
         self.label_multiple = label_multiple
         self.min_time = min_time
+        self.max_in_memory_bytes = max_in_memory_bytes
 
     def flow(
         self,
-        inputs: Sequence[np.ndarray],
+        inputs,                 # Sequence[np.ndarray] or a lazy row source
         labels: Sequence[np.ndarray],
         texts: Optional[Sequence[str]] = None,
     ) -> "DatasetIterator":
-        return DatasetIterator(self, list(inputs), list(labels), texts)
+        if not hasattr(inputs, "row_length"):
+            inputs = list(inputs)
+        return DatasetIterator(self, inputs, list(labels), texts)
 
-    def flow_from_h5(self, h5_path: str, split: str) -> "DatasetIterator":
-        from asr_study_tpu.data.dataset_parser import read_h5
+    def flow_from_h5(
+        self, h5_path: str, split: str, lazy: Optional[bool] = None
+    ) -> "DatasetIterator":
+        """``lazy=None`` auto-selects: splits whose feature payload exceeds
+        ``max_in_memory_bytes`` stream per-batch from disk with bounded RSS
+        (H5FeatureRows); smaller splits load fully (the fast path)."""
+        from asr_study_tpu.data.dataset_parser import (
+            H5FeatureRows, read_h5, read_h5_meta,
+        )
 
+        if lazy is None or lazy:
+            rows = H5FeatureRows(h5_path, split)
+            if lazy or rows.nbytes > self.max_in_memory_bytes:
+                _shapes, labels, texts, _durs = read_h5_meta(h5_path, split)
+                return self.flow(rows, labels, texts)
         inputs, labels, texts, _durs = read_h5(h5_path, split)
         return self.flow(inputs, labels, texts)
 
@@ -129,9 +145,16 @@ class DatasetIterator:
         self.inputs = inputs
         self.labels = labels
         self.texts = list(texts) if texts is not None else None
+        self._lazy = hasattr(inputs, "row_length")
+        if self._lazy:
+            self._row_lengths = inputs.shapes[:, 0].astype(np.int64)
+        else:
+            self._row_lengths = np.array(
+                [x.shape[0] for x in inputs], np.int64
+            )
         order = np.arange(len(inputs))
         if gen.sort_by_duration:
-            order = order[np.argsort([x.shape[0] for x in inputs], kind="stable")]
+            order = order[np.argsort(self._row_lengths, kind="stable")]
         self._order = order
         self._batches = [
             order[i : i + gen.batch_size]
@@ -144,7 +167,10 @@ class DatasetIterator:
 
     @property
     def num_feats(self) -> int:
-        return self.inputs[0].shape[1]
+        return (
+            self.inputs.num_feats if self._lazy
+            else self.inputs[0].shape[1]
+        )
 
     @property
     def steps_per_epoch(self) -> int:
@@ -152,12 +178,12 @@ class DatasetIterator:
 
     def _make_batch(self, idx: np.ndarray) -> Batch:
         gen = self.gen
-        feats = [self.inputs[i] for i in idx]
+        row_lens = [int(self._row_lengths[i]) for i in idx]
         labs = [self.labels[i] for i in idx]
         b = gen.batch_size
-        t = max(gen.min_time, _round_up(max(f.shape[0] for f in feats), gen.time_multiple))
+        t = max(gen.min_time, _round_up(max(row_lens), gen.time_multiple))
         l = _round_up(max(len(x) for x in labs), gen.label_multiple)
-        f_dim = feats[0].shape[1]
+        f_dim = self.num_feats
 
         inputs = np.zeros((b, t, f_dim), dtype=np.float32)
         input_lengths = np.zeros((b,), dtype=np.int32)
@@ -165,16 +191,22 @@ class DatasetIterator:
         label_lengths = np.zeros((b,), dtype=np.int32)
         weights = np.zeros((b,), dtype=np.float32)
         uids = np.full((b,), -1, dtype=np.int32)
-        for j, (x, y) in enumerate(zip(feats, labs)):
-            inputs[j, : x.shape[0]] = x
-            input_lengths[j] = x.shape[0]
+        if self._lazy:
+            # one ascending-index disk read for the whole batch + C++ pack
+            self.inputs.pack_into(idx, inputs)
+        else:
+            for j, i in enumerate(idx):
+                x = self.inputs[i]
+                inputs[j, : x.shape[0]] = x
+        for j, (tl, y) in enumerate(zip(row_lens, labs)):
+            input_lengths[j] = tl
             labels[j, : len(y)] = y
             label_lengths[j] = len(y)
             weights[j] = 1.0
             uids[j] = idx[j]
         # zero-weight padding rows still need a valid CTC problem
         # (input_len >= label_len >= 1) so the masked loss stays finite
-        n_real = len(feats)
+        n_real = len(idx)
         if n_real < b:
             input_lengths[n_real:] = t
             label_lengths[n_real:] = 1
@@ -205,7 +237,8 @@ class DatasetIterator:
         for idx in self._batches:
             t = max(
                 gen.min_time,
-                _round_up(max(self.inputs[i].shape[0] for i in idx), gen.time_multiple),
+                _round_up(max(self._row_lengths[i] for i in idx),
+                          gen.time_multiple),
             )
             l = _round_up(max(len(self.labels[i]) for i in idx), gen.label_multiple)
             shapes.add((t, l))

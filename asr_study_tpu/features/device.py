@@ -71,8 +71,13 @@ def _delta_device(feat: jax.Array, lengths: jax.Array, n: int = 2) -> jax.Array:
 class DeviceFeaturizer:
     """Batched on-device feature extractor.
 
-    ``kind``: 'fbank' | 'logfbank' | 'mfcc'.  Parameters mirror the NumPy
-    classes (audio.FBank/LogFbank/MFCC).  Call with a padded wav batch::
+    ``kind``: 'raw' | 'fbank' | 'logfbank' | 'mfcc'.  Parameters mirror the
+    NumPy classes (audio.Raw/FBank/LogFbank/MFCC); ``append_energy=None``
+    takes the per-kind oracle default (True for mfcc — replaces c0; False
+    for logfbank — appends a log-energy column).  ``mean_norm``/``var_norm``
+    apply per-utterance CMVN over each utterance's REAL frames (masked, so
+    padded batches match the oracle's unpadded statistics).  Call with a
+    padded wav batch::
 
         feats, feat_lengths = featurizer(wavs [B, N], wav_lengths [B])
 
@@ -93,13 +98,24 @@ class DeviceFeaturizer:
         htk: bool = True,
         num_cep: int = 13,
         cep_lifter: int = 22,
-        append_energy: bool = True,
-        d: bool = True,
-        dd: bool = True,
+        append_energy: Optional[bool] = None,
+        d: Optional[bool] = None,
+        dd: Optional[bool] = None,
+        mean_norm: bool = False,
+        var_norm: bool = False,
+        eps: float = audio.EPS,
         dtype=jnp.float32,
     ):
-        if kind not in ("fbank", "logfbank", "mfcc"):
+        if kind not in ("raw", "fbank", "logfbank", "mfcc"):
             raise ValueError(f"unknown device feature kind {kind!r}")
+        # None = the per-kind oracle default (MFCC appends deltas and
+        # replaces c0 with energy by default; LogFbank does neither)
+        if append_energy is None:
+            append_energy = kind == "mfcc"
+        if d is None:
+            d = kind == "mfcc"
+        if dd is None:
+            dd = kind == "mfcc"
         self.kind = kind
         self.fs = fs
         self.frame_len = int(round(win_len * fs))
@@ -112,7 +128,13 @@ class DeviceFeaturizer:
         self.append_energy = append_energy
         self.d = d
         self.dd = dd
+        self.mean_norm = mean_norm
+        self.var_norm = var_norm
+        self.eps = eps
         self.dtype = dtype
+        if kind == "raw":
+            self._call = jax.jit(self._transform)
+            return
 
         # fixed operator tables (host-precomputed in float64, cast f32)
         cos_m, sin_m = _dft_matrices(self.frame_len, nfft)
@@ -134,17 +156,52 @@ class DeviceFeaturizer:
 
     @property
     def num_feats(self) -> int:
+        if self.kind == "raw":
+            return 1
         if self.kind == "fbank":
             return self.nfilt
         if self.kind == "logfbank":
-            return self.nfilt * (1 + int(self.d) + int(self.dd))
+            base = self.nfilt + (1 if self.append_energy else 0)
+            return base * (1 + int(self.d) + int(self.dd))
         return self.num_cep * (1 + int(self.d) + int(self.dd))
+
+    def _finalize(self, out: jax.Array, feat_lengths: jax.Array):
+        """Per-utterance CMVN over real frames, then zero the padded tail.
+
+        Matches the oracle's unmasked ``feats.mean(axis=0)`` /
+        ``feats.std(axis=0)`` on each utterance's own [T_i, F] slice
+        (audio.Feature.__call__); std is mean-shift invariant, so one
+        masked variance serves both the normalized and raw-mean cases.
+        """
+        t_out = out.shape[1]
+        maskf = (
+            jnp.arange(t_out)[None, :] < feat_lengths[:, None]
+        ).astype(out.dtype)[..., None]                        # [B, T, 1]
+        if self.mean_norm or self.var_norm:
+            n = jnp.maximum(
+                feat_lengths.astype(out.dtype), 1.0
+            )[:, None, None]
+            mu = jnp.sum(out * maskf, axis=1, keepdims=True) / n
+            if self.var_norm:
+                var = (
+                    jnp.sum(((out - mu) * maskf) ** 2, axis=1, keepdims=True)
+                    / n
+                )
+                std = jnp.sqrt(var)
+            if self.mean_norm:
+                out = out - mu
+            if self.var_norm:
+                out = out / (std + self.eps)
+        return out * maskf, feat_lengths
 
     # -- core (jitted) ----------------------------------------------------
     def _transform(self, wavs: jax.Array, wav_lengths: jax.Array):
         batch, n_samples = wavs.shape
         wavs = wavs.astype(self.dtype)
         wav_lengths = wav_lengths.astype(jnp.int32)
+        if self.kind == "raw":
+            # [B, N] -> [B, N, 1]; every sample is a frame (audio.Raw)
+            return self._finalize(wavs[..., None], wav_lengths)
 
         # pre-emphasis, then zero beyond each wav's true length so padded
         # tails match the oracle (which pads zeros AFTER pre-emphasis)
@@ -179,7 +236,7 @@ class DeviceFeaturizer:
             wav_lengths, self.frame_len, self.frame_step
         )
         if self.kind == "fbank":
-            return feat, feat_lengths
+            return self._finalize(feat, feat_lengths)
 
         logfeat = jnp.log(feat)
         if self.kind == "mfcc":
@@ -192,6 +249,11 @@ class DeviceFeaturizer:
             base = cep
         else:  # logfbank
             base = logfeat
+            if self.append_energy:
+                # appended log-energy column (audio.LogFbank._transform)
+                base = jnp.concatenate(
+                    [base, jnp.log(energy)[..., None]], axis=-1
+                )
 
         outs = [base]
         if self.d:
@@ -199,11 +261,7 @@ class DeviceFeaturizer:
         if self.dd:
             outs.append(_delta_device(outs[-1], feat_lengths))
         out = jnp.concatenate(outs, axis=-1)
-        # zero frames beyond each utterance's frame count
-        mask = (
-            jnp.arange(t_out)[None, :] < feat_lengths[:, None]
-        ).astype(out.dtype)[..., None]
-        return out * mask, feat_lengths
+        return self._finalize(out, feat_lengths)
 
     def __call__(self, wavs, wav_lengths):
         return self._call(jnp.asarray(wavs), jnp.asarray(wav_lengths))

@@ -48,6 +48,7 @@ def _fbank_kernel(
     nfft: int,
     mfcc: bool,
     append_energy: bool,
+    logfbank_energy: bool,
 ):
     # refs: view_0..view_{n_parts-1} [1, TT, hop], cos [L, K], sin [L, K],
     #       win [1, L], mel [K, nfilt], dct [nfilt, ncep], lift [1, ncep],
@@ -84,6 +85,12 @@ def _fbank_kernel(
             col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
             cep = jnp.where(col == 0, log_e, cep)
         feat = cep
+    elif logfbank_energy:
+        # appended log-energy column (audio.LogFbank append_energy=True);
+        # lane-axis concat is Mosaic-legal (the framing above relies on it)
+        energy = jnp.sum(pspec, axis=-1, keepdims=True)
+        log_e = jnp.log(jnp.maximum(energy, jnp.finfo(jnp.float32).eps))
+        feat = jnp.concatenate([feat, log_e], axis=-1)
     out_ref[0, :, :] = feat
 
 
@@ -96,13 +103,16 @@ class PallasFeaturizer(DeviceFeaturizer):
     def __init__(self, *args, interpret: bool = False, **kw):
         self._interpret = interpret
         super().__init__(*args, **kw)
-        if self.frame_len <= self.frame_step:
+        if self.kind != "raw" and self.frame_len <= self.frame_step:
             raise ValueError(
                 "PallasFeaturizer requires overlapping frames "
                 "(frame_len > frame_step; default 400/160 works)"
             )
 
     def _transform(self, wavs: jax.Array, wav_lengths: jax.Array):
+        if self.kind == "raw":
+            # no spectral chain to fuse; the XLA raw path is optimal
+            return super()._transform(wavs, wav_lengths)
         batch, n_samples = wavs.shape
         wavs = wavs.astype(self.dtype)
         wav_lengths = wav_lengths.astype(jnp.int32)
@@ -139,7 +149,10 @@ class PallasFeaturizer(DeviceFeaturizer):
             win = jnp.pad(win, ((0, z),))
 
         mfcc = self.kind == "mfcc"
-        f_core = self.num_cep if mfcc else self.nfilt
+        logfbank_energy = self.kind == "logfbank" and self.append_energy
+        f_core = self.num_cep if mfcc else (
+            self.nfilt + (1 if logfbank_energy else 0)
+        )
         k_bins = self.nfft // 2 + 1
 
         kernel = functools.partial(
@@ -148,6 +161,7 @@ class PallasFeaturizer(DeviceFeaturizer):
             nfft=self.nfft,
             mfcc=mfcc,
             append_energy=self.append_energy and mfcc,
+            logfbank_energy=logfbank_energy,
         )
         view_specs = [
             pl.BlockSpec(
@@ -215,7 +229,4 @@ class PallasFeaturizer(DeviceFeaturizer):
             if self.dd:
                 outs.append(_delta_device(outs[-1], feat_lengths))
             out = jnp.concatenate(outs, axis=-1)
-        mask = (
-            jnp.arange(t_out)[None, :] < feat_lengths[:, None]
-        ).astype(out.dtype)[..., None]
-        return out * mask, feat_lengths
+        return self._finalize(out, feat_lengths)

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from asr_study_tpu.models import nn
-from asr_study_tpu.models.cells import GRUCell, LSTMCell, make_cell
+from asr_study_tpu.models.cells import (
+    GRUCell, LayerNormLSTMCell, LSTMCell, make_cell,
+)
 
 # Recurrence backend: 'auto' (default) uses the fused Pallas kernels
 # (ops/pallas_lstm.py / pallas_gru.py) on TPU for plain MXU-aligned cells,
@@ -31,11 +33,45 @@ RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
 
 
 def _pallas_eligible(cell, key, train) -> bool:
+    # exact types: MI/zoneout subclasses still fall back to lax.scan
     return (
-        type(cell) in (LSTMCell, GRUCell)
-        and cell.hidden % 128 == 0
+        type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell)
         and cell.dtype == jnp.float32
     )
+
+
+def _pad_gate_vec(v, hidden: int, hp: int, num_gates: int):
+    """Zero-pad a [G*H] per-gate parameter vector to [G*H']."""
+    if hp == hidden:
+        return v
+    return jnp.pad(
+        v.reshape(num_gates, hidden), ((0, 0), (0, hp - hidden))
+    ).reshape(num_gates * hp)
+
+
+def _pad_hidden(xp_b, wh, hidden: int, num_gates: int):
+    """Zero-pad each gate block of ``xp_b`` [T, B, G*H] and ``wh`` [H, G*H]
+    to a 128-lane-aligned hidden size H' so ANY width takes the Pallas
+    kernel (the reference's graves2006 uses H=100).  Zero padding is
+    self-consistent: padded pre-activations are exactly 0, so for both the
+    LSTM (i=f=o=0.5, g=0 -> c,h stay 0) and the GRU (z=0.5, n=0 -> h stays
+    0) every padded lane holds 0 for the whole scan, and slicing the output
+    back to H is exact.  Grads flow through the pad/slice as ordinary XLA
+    ops around the kernel's custom VJP."""
+    hp = -(-hidden // 128) * 128
+    if hp == hidden:
+        return xp_b, wh, hidden
+    t, b, _ = xp_b.shape
+    pad = hp - hidden
+    xp_b = jnp.pad(
+        xp_b.reshape(t, b, num_gates, hidden),
+        ((0, 0), (0, 0), (0, 0), (0, pad)),
+    ).reshape(t, b, num_gates * hp)
+    wh = jnp.pad(
+        wh.reshape(hidden, num_gates, hidden),
+        ((0, pad), (0, 0), (0, pad)),
+    ).reshape(hp, num_gates * hp)
+    return xp_b, wh, hp
 
 
 def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
@@ -53,23 +89,67 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
     if backend != "scan" and _pallas_eligible(cell, key, train):
         on_tpu = jax.default_backend() == "tpu"
         if backend == "pallas" or on_tpu:
-            if type(cell) is LSTMCell:
-                from asr_study_tpu.ops.pallas_lstm import pallas_lstm as op
-            else:
-                from asr_study_tpu.ops.pallas_gru import pallas_gru as op
-
-            xp_b = xp.astype(jnp.float32) + params["b"].astype(jnp.float32)
             # f32 mask: Mosaic can't compare bf16 (mixed-precision models
             # compute masks in the compute dtype)
             m2 = mask.astype(jnp.float32)
-            if reverse:
-                xp_b, m2 = xp_b[::-1], m2[::-1]
-            outs = op(
-                xp_b, m2, params["wh"], cell.hidden,
-                interpret=not on_tpu,
-            )
+            if type(cell) is LayerNormLSTMCell:
+                from asr_study_tpu.ops.pallas_ln_lstm import pallas_ln_lstm
+
+                # ln_x has no recurrent dependence: apply it out here over
+                # the whole sequence; fold every additive constant into the
+                # streamed tensor (kernel adds only xhat_h * gh)
+                xpn = (
+                    LayerNormLSTMCell._blockwise_ln(
+                        params["ln_x"], xp.astype(jnp.float32)
+                    )
+                    + params["b"].astype(jnp.float32)
+                    + params["ln_h"]["b"].astype(jnp.float32)
+                )
+                xpn, wh, h_eff = _pad_hidden(
+                    xpn, params["wh"], cell.hidden, cell.num_gates
+                )
+                gh = _pad_gate_vec(
+                    params["ln_h"]["g"].astype(jnp.float32),
+                    cell.hidden, h_eff, cell.num_gates,
+                )
+                gc = _pad_gate_vec(
+                    params["ln_c"]["g"].astype(jnp.float32),
+                    cell.hidden, h_eff, 1,
+                )
+                bc = _pad_gate_vec(
+                    params["ln_c"]["b"].astype(jnp.float32),
+                    cell.hidden, h_eff, 1,
+                )
+                if reverse:
+                    xpn, m2 = xpn[::-1], m2[::-1]
+                outs = pallas_ln_lstm(
+                    xpn, m2, wh, gh, gc, bc, h_eff, cell.hidden,
+                    interpret=not on_tpu,
+                )
+            else:
+                if type(cell) is LSTMCell:
+                    from asr_study_tpu.ops.pallas_lstm import (
+                        pallas_lstm as op,
+                    )
+                else:
+                    from asr_study_tpu.ops.pallas_gru import (
+                        pallas_gru as op,
+                    )
+
+                xp_b = (
+                    xp.astype(jnp.float32) + params["b"].astype(jnp.float32)
+                )
+                # padding preserves wh's dtype (bf16 under mixed precision)
+                xp_b, wh, h_eff = _pad_hidden(
+                    xp_b, params["wh"], cell.hidden, cell.num_gates
+                )
+                if reverse:
+                    xp_b, m2 = xp_b[::-1], m2[::-1]
+                outs = op(xp_b, m2, wh, h_eff, interpret=not on_tpu)
             if reverse:
                 outs = outs[::-1]
+            if h_eff != cell.hidden:
+                outs = outs[..., : cell.hidden]
             return outs * orig_mask
     if reverse:
         xp, mask = xp[::-1], mask[::-1]

@@ -8,13 +8,16 @@ jits and vmaps (SURVEY.md §7 hard-part 4):
   classic (p_blank, p_nonblank) log-prob split per prefix.
 - Each frame expands W beams into W*(1+C) candidates (stay / extend-with-c),
   merges candidates that denote the same prefix, and keeps the top W.
-- Prefix identity for merging is a rolling 32-bit multiplicative hash;
-  candidates with equal hashes have their probability mass log-added via a
-  sort + segment-logsumexp (the "top-k + segment merges" pattern).  Hash
-  collisions are astronomically unlikely per step (~N^2/2^33) and at worst
-  shift a little probability mass between beams.
+- Prefix identity for merging is a rolling 64-bit hash carried as TWO
+  independent 32-bit lanes (different multiplicative constants — uint64 is
+  unavailable without jax_enable_x64); candidates are lexsorted by
+  (lane1, lane2) and merged via segment-logsumexp only when BOTH lanes
+  match (the "top-k + segment merges" pattern).  A spurious merge needs a
+  simultaneous collision in both lanes: ~N^2/2^65 per step, negligible even
+  over T=512 x B=32 x W=64 decodes (the single-lane version's ~N^2/2^33
+  budget eroded at that scale — VERDICT r1).
 
-No dynamic shapes anywhere: one argsort + one top_k per frame, scanned over
+No dynamic shapes anywhere: one lexsort + one top_k per frame, scanned over
 time with ``lax.scan``.
 """
 
@@ -27,7 +30,8 @@ import jax.numpy as jnp
 
 from asr_study_tpu.ops.ctc import LOG_EPS, _logadd
 
-_HASH_MULT = jnp.uint32(0x9E3779B1)  # golden-ratio multiplier
+_HASH_MULT = jnp.uint32(0x9E3779B1)   # golden-ratio multiplier (lane 1)
+_HASH_MULT2 = jnp.uint32(0x85EBCA77)  # murmur3 fmix constant (lane 2)
 _HASH_INIT = jnp.uint32(1)
 
 
@@ -69,9 +73,12 @@ def _decode_single(
     hash0 = (jnp.uint32(0xDEAD0000) + w_idx.astype(jnp.uint32)).at[0].set(
         _HASH_INIT
     )
+    hash0b = (jnp.uint32(0xBEEF0000) + w_idx.astype(jnp.uint32)).at[0].set(
+        _HASH_INIT
+    )
 
     def step(state, inp):
-        prefixes, lengths, last, p_b, p_nb, hashes = state
+        prefixes, lengths, last, p_b, p_nb, hashes, hashes2 = state
         lp, valid = inp                                      # [V], scalar
         lp_blank = lp[blank_id]
         if n_ext < n_char:
@@ -109,12 +116,23 @@ def _decode_single(
         cand_hash = jnp.concatenate(
             [hashes[:, None], ext_hash], axis=1
         ).reshape(n_cand)
+        ext_hash2 = (
+            hashes2[:, None] * _HASH_MULT2
+            + (chars[None, :] + 1).astype(jnp.uint32)
+        )
+        cand_hash2 = jnp.concatenate(
+            [hashes2[:, None], ext_hash2], axis=1
+        ).reshape(n_cand)
 
-        # --- merge equal prefixes (sort by hash + segment logsumexp) ----
-        perm = jnp.argsort(cand_hash)
+        # --- merge equal prefixes (lexsort both lanes + segment
+        # logsumexp); equal prefixes have equal (lane1, lane2) pairs, so
+        # they land adjacent and merge iff BOTH lanes match -------------
+        perm = jnp.lexsort((cand_hash2, cand_hash))
         sh = cand_hash[perm]
+        sh2 = cand_hash2[perm]
         seg_start = jnp.concatenate(
-            [jnp.ones((1,), bool), sh[1:] != sh[:-1]]
+            [jnp.ones((1,), bool),
+             (sh[1:] != sh[:-1]) | (sh2[1:] != sh2[:-1])]
         )
         seg_ids = jnp.cumsum(seg_start) - 1
         m_pb = _seg_logsumexp(cand_pb[perm], seg_ids, n_cand)
@@ -142,11 +160,13 @@ def _decode_single(
         new_lengths = par_len + is_ext.astype(jnp.int32)
         new_last = jnp.where(is_ext, ext_char, new_last)
         new_hash = cand_hash[sel]
+        new_hash2 = cand_hash2[sel]
         new_pb = m_pb[top_pos]
         new_pnb = m_pnb[top_pos]
 
         new_state = (
-            new_prefixes, new_lengths, new_last, new_pb, new_pnb, new_hash
+            new_prefixes, new_lengths, new_last, new_pb, new_pnb,
+            new_hash, new_hash2,
         )
         # padded frames: carry state through unchanged
         state = jax.tree_util.tree_map(
@@ -160,10 +180,10 @@ def _decode_single(
     frame_valid = jnp.arange(t_max) < length
     state, _ = jax.lax.scan(
         step,
-        (prefixes0, lengths0, last0, p_b0, p_nb0, hash0),
+        (prefixes0, lengths0, last0, p_b0, p_nb0, hash0, hash0b),
         (log_probs, frame_valid),
     )
-    prefixes, lengths, last, p_b, p_nb, _ = state
+    prefixes, lengths, last, p_b, p_nb, _, _ = state
     scores = _logadd(p_b, p_nb)
     order = jnp.argsort(-scores)
     return prefixes[order], lengths[order], scores[order]

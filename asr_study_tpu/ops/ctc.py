@@ -137,8 +137,10 @@ def blank_collapse(
     Kept frames are left-packed; in the rare case an utterance keeps more
     than T2 frames, the EARLIEST frames win and the overflow is dropped
     (choose keep_ratio with headroom; trained acoustic models emit 60-80%%
-    blanks).  Returns (packed logits [B, T2, V], new lengths [B]).  Apply
-    before ``beam_search_decode`` to cut decode cost by ~1/keep_ratio.
+    blanks).  Returns (packed logits [B, T2, V], new lengths [B],
+    dropped [B] — frames lost to the static T2 budget; nonzero values mean
+    keep_ratio is too small for this model and the caller should warn).
+    Apply before ``beam_search_decode`` to cut decode cost by ~1/keep_ratio.
     """
     batch, t_max, vocab = logits.shape
     if blank_id is None:
@@ -155,8 +157,10 @@ def blank_collapse(
     key = jnp.where(keep, jnp.arange(t_max)[None, :], t_max)
     order = jnp.argsort(key, axis=1, stable=True)[:, :t2]    # [B, T2]
     packed = jnp.take_along_axis(logits, order[..., None], axis=1)
-    new_lengths = jnp.minimum(jnp.sum(keep, axis=1), t2).astype(jnp.int32)
-    return packed, new_lengths
+    num_keep = jnp.sum(keep, axis=1).astype(jnp.int32)
+    new_lengths = jnp.minimum(num_keep, t2)
+    dropped = num_keep - new_lengths
+    return packed, new_lengths, dropped
 
 
 def greedy_decode(

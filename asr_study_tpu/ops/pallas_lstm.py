@@ -153,14 +153,36 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
 # by 64KB; fwd at B=64/c=32 by 8MB).
 _CHUNK = 32
 _CHUNK_BWD = 8
-# calibrated so the validated B=32 fwd case keeps its 32-frame chunk
-# (12.58MB of double-buffered blocks ran fine) while B=64 halves
-_VMEM_BUDGET = 12 * 2**20
+
+
+@functools.lru_cache(maxsize=1)
+def _vmem_budget() -> int:
+    """Streamed-block VMEM budget, derived per device generation.
+
+    Calibrated anchor: v5e (128 MiB VMEM) safely streams 12 MiB of
+    double-buffered blocks alongside the resident weights/scratch (12.58 MiB
+    ran fine; see OOM notes above).  Older generations with 16 MiB VMEM get
+    a proportionally smaller budget; unknown kinds inherit the v5e value
+    (too-large budgets fail loudly at compile, they don't corrupt).
+    Override with ASR_VMEM_BUDGET_MB.
+    """
+    import os
+
+    env = os.environ.get("ASR_VMEM_BUDGET_MB")
+    if env:
+        return int(float(env) * 2**20)
+    try:
+        kind = jax.local_devices()[0].device_kind.lower()
+    except Exception:
+        return 12 * 2**20
+    if "v2" in kind or "v3" in kind:      # 16 MiB VMEM generations
+        return 6 * 2**20
+    return 12 * 2**20
 
 
 def _budget_chunk(cap: int, t_steps: int, per_frame_bytes: int) -> int:
     c = min(cap, t_steps)
-    while c > 1 and c * per_frame_bytes * 2 > _VMEM_BUDGET:
+    while c > 1 and c * per_frame_bytes * 2 > _vmem_budget():
         c //= 2
     return max(c, 1)
 

@@ -44,8 +44,34 @@ def fit(
     rng = jax.random.PRNGKey(seed)
     step = int(state.step)
     t_last = time.time()
+
+    def consume(pending, ep):
+        """Fetch a step's (device) metrics one step late, so the NEXT step's
+        dispatch overlaps this sync — on the remote-tunnel backend a host
+        fetch per step would otherwise serialize every dispatch behind the
+        previous step's completion (~28 ms round-trip floor)."""
+        nonlocal t_last
+        p_step, p_metrics, p_w, p_epoch = pending
+        loss = float(p_metrics["loss"])
+        ep[0] += loss * p_w
+        ep[1] += p_w
+        if p_step % log_every == 0:
+            now = time.time()
+            writer.write(
+                p_step,
+                {
+                    "epoch": p_epoch,
+                    "loss": loss,
+                    "grad_norm": float(p_metrics["grad_norm"]),
+                    "steps_per_s": log_every / max(now - t_last, 1e-9),
+                },
+                echo=True,
+            )
+            t_last = now
+
     for epoch in range(epochs):
-        ep_loss, ep_n = 0.0, 0
+        ep_acc = [0.0, 0.0]          # weighted loss sum, weight sum
+        pending = None               # (step, device metrics, weight, epoch)
         batches = device_prefetch(
             train_iter.epoch(seed=seed + epoch),
             depth=2,
@@ -62,25 +88,15 @@ def fit(
             if profile and log_dir and step == profile_steps[1]:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-            loss = float(metrics["loss"])
-            ep_loss += loss * batch.size
-            ep_n += batch.size
-            if step % log_every == 0:
-                now = time.time()
-                writer.write(
-                    step,
-                    {
-                        "epoch": epoch,
-                        "loss": loss,
-                        "grad_norm": float(metrics["grad_norm"]),
-                        "steps_per_s": log_every / max(now - t_last, 1e-9),
-                    },
-                    echo=True,
-                )
-                t_last = now
+            if pending is not None:
+                consume(pending, ep_acc)
+            # epoch loss weighted by real (non-padding) rows, not batch.size
+            pending = (step, metrics, float(batch.weights.sum()), epoch)
+        if pending is not None:
+            consume(pending, ep_acc)
 
         scalars: Dict[str, float] = {
-            "epoch": epoch, "train_loss": ep_loss / max(ep_n, 1)
+            "epoch": epoch, "train_loss": ep_acc[0] / max(ep_acc[1], 1e-9)
         }
         if valid_iter is not None:
             val = trainer.run_eval(state, valid_iter.epoch())

@@ -30,14 +30,8 @@ class MetricWriter:
         row = {"step": step, "wall_s": round(time.time() - self._t0, 3)}
         row.update({k: float(v) for k, v in scalars.items()})
         if self._path:
-            if self._writer is None:
-                self._fields = list(row.keys())
-                self._file = open(self._path, "a", newline="")
-                self._writer = csv.DictWriter(
-                    self._file, fieldnames=self._fields, extrasaction="ignore"
-                )
-                if self._file.tell() == 0:
-                    self._writer.writeheader()
+            if self._writer is None or any(k not in self._fields for k in row):
+                self._reopen(list(row.keys()))
             self._writer.writerow(row)
             self._file.flush()
         if echo:
@@ -46,6 +40,36 @@ class MetricWriter:
                 for k, v in row.items()
             )
             print(msg, file=sys.stderr, flush=True)
+
+    def _reopen(self, row_keys):
+        """(Re)build the CSV writer, widening the header when rows introduce
+        new scalar keys (e.g. the epoch-summary val_loss/val_ler after
+        per-step rows) — previously those columns were silently dropped by
+        ``extrasaction='ignore'``.  When the header widens, existing rows are
+        rewritten with empty cells for the columns they lack."""
+        if self._file:
+            self._file.close()
+            self._file = self._writer = None
+        fields = list(self._fields or [])
+        old_rows = []
+        has_file = os.path.exists(self._path) and os.path.getsize(self._path)
+        if not fields and has_file:          # resuming into an existing CSV
+            with open(self._path, newline="") as f:
+                fields = list(csv.DictReader(f).fieldnames or [])
+        new_keys = [k for k in row_keys if k not in fields]
+        if new_keys and has_file:
+            with open(self._path, newline="") as f:
+                old_rows = list(csv.DictReader(f))
+        self._fields = fields + new_keys
+        mode = "w" if (new_keys and has_file) else "a"
+        self._file = open(self._path, mode, newline="")
+        self._writer = csv.DictWriter(
+            self._file, fieldnames=self._fields, extrasaction="ignore"
+        )
+        if self._file.tell() == 0:
+            self._writer.writeheader()
+        for r in old_rows:
+            self._writer.writerow(r)
 
     def close(self):
         if self._file:

@@ -62,7 +62,7 @@ def main() -> int:
     for w in args.widths:
         if args.collapse > 0:
             def f(w=w):
-                lg, ln = blank_collapse(
+                lg, ln, _ = blank_collapse(
                     logits, lengths, threshold=args.collapse,
                     keep_ratio=0.5,
                 )

@@ -46,6 +46,9 @@ long asr_read_wav(const char* path, float* out, long max_samples,
     uint32_t size = ch[4] | (ch[5] << 8) | (ch[6] << 16) |
                     ((uint32_t)ch[7] << 24);
     if (!std::memcmp(ch, "fmt ", 4)) {
+      // a PCM fmt chunk is >= 16 bytes; anything smaller is malformed and
+      // reading fmt[14]/fmt[15] below would be out of bounds
+      if (size < 16 || size > 1 << 20) { n_out = -3; break; }
       std::vector<unsigned char> fmt(size);
       if (std::fread(fmt.data(), 1, size, f) != size) break;
       audio_format = fmt[0] | (fmt[1] << 8);
@@ -59,11 +62,15 @@ long asr_read_wav(const char* path, float* out, long max_samples,
       bool flt = audio_format == 3;
       if (!pcm && !flt) { n_out = -4; break; }
       if (bits != 16 && bits != 32) { n_out = -4; break; }
+      if (n_channels == 0 || n_channels > 64) { n_out = -4; break; }
       long bytes_per = bits / 8;
       long n_frames = size / (bytes_per * n_channels);
       if (n_frames > max_samples) { n_out = -5; break; }
-      std::vector<unsigned char> data(size);
-      size_t got = std::fread(data.data(), 1, size, f);
+      // bound the allocation by what the caller can accept — `size` is an
+      // untrusted field that could otherwise demand up to 4 GB
+      uint64_t need = (uint64_t)n_frames * bytes_per * n_channels;
+      std::vector<unsigned char> data((size_t)need);
+      size_t got = std::fread(data.data(), 1, (size_t)need, f);
       n_frames = (long)(got / (bytes_per * n_channels));
       const float inv16 = 1.0f / 32768.0f;
       const double inv32 = 1.0 / 2147483648.0;

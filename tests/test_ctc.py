@@ -168,8 +168,9 @@ class TestBlankCollapse:
 
         logits = self._peaked_logits(jax.random.PRNGKey(0))
         lens = jnp.array([20, 15])
-        packed, new_lens = blank_collapse(logits, lens, keep_ratio=0.7)
+        packed, new_lens, dropped = blank_collapse(logits, lens, keep_ratio=0.7)
         assert packed.shape[1] == 14
+        assert int(dropped.sum()) == 0
         # greedy transcripts identical on collapsed emissions
         d1, l1 = greedy_decode(logits, lens)
         d2, l2 = greedy_decode(packed, new_lens)
@@ -191,11 +192,13 @@ class TestBlankCollapse:
 
         # nothing blank-dominated: all frames kept, clamped to T2
         logits = jnp.zeros((1, 10, 3))  # uniform -> blank prob 1/3 < thr
-        packed, new_lens = blank_collapse(
+        packed, new_lens, dropped = blank_collapse(
             logits, jnp.array([10]), keep_ratio=0.5
         )
         assert packed.shape[1] == 5
         assert int(new_lens[0]) == 5
+        # the 5 overflow frames are reported, not silently lost
+        assert int(dropped[0]) == 5
 
 
 def _py_prefix_beam(log_probs, length, beam_width, blank):
@@ -273,6 +276,32 @@ class TestBeamSearch:
         np.testing.assert_array_equal(
             np.asarray(exact[0]), np.asarray(pruned[0])
         )
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_hash_collision_does_not_merge(self, seed, monkeypatch):
+        """Adversarial lane-1 collisions: degrade the first hash lane to a
+        constant multiplier of 0 (lane-1 hash == last char + 1, so EVERY
+        pair of prefixes sharing a final char collides). The second lane
+        must still keep distinct prefixes apart — decode must match the
+        dict-based reference exactly. Guards the 64-bit (two-lane) merge
+        key against regressing to single-lane behavior."""
+        from asr_study_tpu.ops import beam as beam_mod
+
+        monkeypatch.setattr(beam_mod, "_HASH_MULT", jnp.uint32(0))
+        key = jax.random.PRNGKey(seed)
+        t_max, vocab, width = 7, 4, 8
+        logits = jax.random.normal(key, (1, t_max, vocab)) * 1.5
+        lp = np.array(jax.nn.log_softmax(logits, axis=-1))[0]
+        want = _py_prefix_beam(lp, t_max, width, blank=vocab - 1)
+        dec, lens, scores = beam_mod.beam_search_decode(
+            logits, jnp.array([t_max]), beam_width=width, top_paths=3
+        )
+        for p in range(3):
+            got = dec[0, p, : int(lens[0, p])].tolist()
+            assert got == want[p][0]
+            np.testing.assert_allclose(
+                float(scores[0, p]), want[p][1], rtol=1e-4, atol=1e-4
+            )
 
     def test_beats_or_matches_greedy(self):
         key = jax.random.PRNGKey(7)

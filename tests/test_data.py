@@ -217,3 +217,66 @@ def test_generator_epoch_shuffles_batch_order():
 def test_generator_empty_raises():
     with pytest.raises(ValueError):
         DatasetGenerator().flow([], [])
+
+
+# -- lazy HDF5 streaming -------------------------------------------------------
+
+def _streaming_h5(tmp_path, n=12):
+    d = Dummy(str(tmp_path / "dummy"), n=n)
+    h5 = str(tmp_path / "data.h5")
+    d.to_h5(h5, MFCC(d=False, dd=False), CharParser())
+    return h5
+
+
+def test_flow_from_h5_lazy_matches_in_memory(tmp_path):
+    """Per-batch disk reads must produce byte-identical batches to the
+    in-memory fast path (same order, same packing, same padding)."""
+    h5 = _streaming_h5(tmp_path)
+    gen = DatasetGenerator(batch_size=4, shuffle=False)
+    mem = gen.flow_from_h5(h5, "train", lazy=False)
+    lazy = gen.flow_from_h5(h5, "train", lazy=True)
+    assert mem.num_feats == lazy.num_feats
+    assert mem.steps_per_epoch == lazy.steps_per_epoch
+    for bm, bl in zip(mem.epoch(seed=3), lazy.epoch(seed=3)):
+        np.testing.assert_array_equal(bm.inputs, bl.inputs)
+        np.testing.assert_array_equal(bm.input_lengths, bl.input_lengths)
+        np.testing.assert_array_equal(bm.labels, bl.labels)
+        np.testing.assert_array_equal(bm.label_lengths, bl.label_lengths)
+        np.testing.assert_array_equal(bm.weights, bl.weights)
+        np.testing.assert_array_equal(bm.uids, bl.uids)
+        assert bm.texts == bl.texts
+
+
+def test_flow_from_h5_auto_threshold(tmp_path):
+    """The auto mode streams splits whose feature payload exceeds
+    max_in_memory_bytes and keeps smaller ones in memory."""
+    from asr_study_tpu.data.dataset_parser import H5FeatureRows
+
+    h5 = _streaming_h5(tmp_path)
+    small = DatasetGenerator(batch_size=4).flow_from_h5(h5, "train")
+    assert isinstance(small.inputs, list)          # fits -> in memory
+    tiny_budget = DatasetGenerator(batch_size=4, max_in_memory_bytes=1)
+    streamed = tiny_budget.flow_from_h5(h5, "train")
+    assert isinstance(streamed.inputs, H5FeatureRows)
+
+
+def test_h5_feature_rows_interface(tmp_path):
+    from asr_study_tpu.data.dataset_parser import H5FeatureRows, read_h5
+
+    h5 = _streaming_h5(tmp_path, n=6)
+    rows = H5FeatureRows(h5, "train")
+    inputs, _, _, _ = read_h5(h5, "train")
+    assert len(rows) == len(inputs)
+    assert rows.num_feats == inputs[0].shape[1]
+    assert rows.nbytes == sum(x.nbytes for x in inputs)
+    for i in range(len(rows)):
+        assert rows.row_length(i) == inputs[i].shape[0]
+        np.testing.assert_array_equal(rows[i], inputs[i])
+    # pack_into: whole-batch read lands rows in order with zero padding
+    t_pad = max(x.shape[0] for x in inputs) + 5
+    out = np.zeros((len(inputs), t_pad, rows.num_feats), np.float32)
+    rows.pack_into(np.arange(len(inputs))[::-1], out)
+    for j, i in enumerate(reversed(range(len(inputs)))):
+        np.testing.assert_array_equal(out[j, : inputs[i].shape[0]], inputs[i])
+        assert np.all(out[j, inputs[i].shape[0]:] == 0)
+    rows.close()

@@ -13,7 +13,11 @@ from tests.test_features_device import _rand_wavs
 @pytest.mark.parametrize("kind,kw", [
     ("mfcc", {}),
     ("mfcc", {"append_energy": False, "d": False, "dd": False}),
+    ("mfcc", {"mean_norm": True, "var_norm": True}),
     ("logfbank", {"d": True, "dd": True}),
+    ("logfbank", {"append_energy": True, "d": True, "dd": True}),
+    ("fbank", {}),
+    ("raw", {"mean_norm": True}),
 ])
 def test_pallas_matches_xla_path(kind, kw):
     wavs, lengths = _rand_wavs(batch=2, n=7000)

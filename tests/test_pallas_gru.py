@@ -61,6 +61,45 @@ def test_grads_match_scan():
     )
 
 
+def test_multi_chunk_with_padding_grads(monkeypatch):
+    """T not a multiple of the chunk: padded tail + reversed-chunk backward
+    walk must still match the scan path (the bug class lives exactly in the
+    bwd chunk-reversal logic — mirror of the LSTM regression test)."""
+    from asr_study_tpu.ops import pallas_lstm as lstm_mod
+
+    # GRU's _fwd_call/_bwd_call import the chunk helpers from pallas_lstm
+    monkeypatch.setattr(lstm_mod, "_CHUNK", 5)       # T=11 -> 5+5+pad
+    monkeypatch.setattr(lstm_mod, "_CHUNK_BWD", 5)
+    cell, params, x, mask = _setup(seed=3, t=11)
+    xp = cell.input_proj(params, x)
+
+    def loss_pal(xp_in, wh):
+        h = pallas_gru(
+            xp_in + params["b"], mask[..., None], wh, cell.hidden,
+            interpret=True,
+        )
+        return jnp.sum((h * mask[..., None]) ** 2)
+
+    def loss_ref(xp_in, wh):
+        p = dict(params, wh=wh)
+        h = scan_cell(cell, p, xp_in, mask[..., None], backend="scan")
+        return jnp.sum(h ** 2)
+
+    v_pal, g_pal = jax.value_and_grad(loss_pal, argnums=(0, 1))(
+        xp, params["wh"]
+    )
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        xp, params["wh"]
+    )
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_pal[0]), np.asarray(g_ref[0]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_deep_gru_backend_integration(monkeypatch):
     from asr_study_tpu.models import rnn as rnn_mod
     from asr_study_tpu.models.zoo import build_model
