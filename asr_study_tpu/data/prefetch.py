@@ -36,8 +36,18 @@ def device_prefetch(
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
 
+    # Multi-host mesh (DCN): each process contributes only its local shard;
+    # jax.make_array_from_process_local_data assembles the global array.
+    # Single-host meshes (fully addressable) keep the plain device_put path.
+    multiproc = sharding is not None and not sharding.is_fully_addressable
+
     def put(b: Batch) -> Batch:
-        dev = lambda x: jax.device_put(x, sharding)  # noqa: E731
+        if multiproc:
+            dev = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+                sharding, x
+            )
+        else:
+            dev = lambda x: jax.device_put(x, sharding)  # noqa: E731
         return Batch(
             inputs=dev(b.inputs),
             input_lengths=dev(b.input_lengths),

@@ -4,10 +4,13 @@ TPU redesign of the reference's Keras orchestration [ref: train.py,
 core/ctc_utils.py]: instead of ``model.compile(loss=ctc_dummy_loss)`` +
 ``fit_generator`` feeding numpy through a TF session, the whole step —
 forward, CTC loss, backward, clip, optimizer update — is ONE jitted
-function.  Data parallelism is jit-with-shardings (pjit): params replicated,
-batch sharded over a 1-D ``data`` mesh axis; XLA inserts the gradient
-all-reduce over ICI (SURVEY.md §2.3, BASELINE config 5).  No NCCL/MPI-style
-code exists anywhere — the platform's collectives do the work.
+function.  Data parallelism is ``jax.shard_map`` over a 1-D ``data`` mesh:
+params replicated, batch split per device, gradients/metrics reduced with
+``psum`` over ICI (SURVEY.md §2.3/§7, BASELINE config 5).  shard_map (not
+jit-with-shardings) is deliberate: every device runs the per-shard program
+on LOCAL shapes, so custom kernels (the Pallas recurrences) see plain
+dense arrays instead of needing an SPMD partitioning rule — no NCCL/MPI-
+style code anywhere; the platform's collectives do the work.
 """
 
 from __future__ import annotations
@@ -88,37 +91,43 @@ class Trainer:
         if mesh is not None:
             self._repl = NamedSharding(mesh, P())
             self._batched = NamedSharding(mesh, P("data"))
+            # per-device programs on local shapes; psum over 'data' inside
+            batched = P("data")
+            repl = P()
+            # check_vma=False: the RNN scan seeds its carry with replicated
+            # zeros, which the varying-axes type check rejects; semantics
+            # are unaffected (all cross-device reductions are explicit
+            # psums in _train_step/_eval_step).
+            train_fn = jax.shard_map(
+                self._train_step,
+                mesh=mesh,
+                in_specs=(repl, batched, batched, batched, batched,
+                          batched, repl),
+                out_specs=(repl, repl),
+                check_vma=False,
+            )
+            eval_fn = jax.shard_map(
+                self._eval_step,
+                mesh=mesh,
+                in_specs=(repl, batched, batched, batched, batched,
+                          batched),
+                out_specs=repl,
+                check_vma=False,
+            )
         else:
             self._repl = self._batched = None
-
-        in_shardings = None
-        out_shardings = None
-        if mesh is not None:
-            in_shardings = (
-                self._repl,                      # state
-                self._batched, self._batched,    # inputs, input_lengths
-                self._batched, self._batched,    # labels, label_lengths
-                self._batched,                   # weights
-                self._repl,                      # rng
-            )
-            out_shardings = (self._repl, self._repl)
+            train_fn = self._train_step
+            eval_fn = self._eval_step
         self.train_step = jax.jit(
-            self._train_step,
-            in_shardings=in_shardings,
-            out_shardings=out_shardings,
-            donate_argnums=(0,) if donate_state else (),
+            train_fn, donate_argnums=(0,) if donate_state else ()
         )
+        self.eval_step = jax.jit(eval_fn)
 
-        eval_in = eval_out = None
-        if mesh is not None:
-            eval_in = (
-                self._repl, self._batched, self._batched,
-                self._batched, self._batched, self._batched,
-            )
-            eval_out = self._repl
-        self.eval_step = jax.jit(
-            self._eval_step, in_shardings=eval_in, out_shardings=eval_out
-        )
+    def _psum(self, x):
+        """Sum over the data axis (identity single-device)."""
+        if self.mesh is None:
+            return x
+        return jax.lax.psum(x, "data")
 
     @property
     def batch_sharding(self):
@@ -143,6 +152,9 @@ class Trainer:
         label_lengths, weights, rng,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
+        if self.mesh is not None:
+            # decorrelate per-device dropout masks
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def loss_fn(params):
             p, x = params, inputs
@@ -156,15 +168,24 @@ class Trainer:
             logits = self.model.apply(
                 p, x, input_lengths, train=True, rng=rng
             )
-            loss = ctc.ctc_loss_mean(
+            per_seq = ctc.ctc_loss(
                 logits.astype(jnp.float32), input_lengths, labels,
-                label_lengths, blank_id=self.model.blank_id, weights=weights,
+                label_lengths, blank_id=self.model.blank_id,
             )
-            return loss, logits
+            # Per-shard weighted SUM: the global weighted mean (and its
+            # gradient) is recovered after the cross-device psum, so DP
+            # training is bit-comparable to a single big-batch step.
+            return jnp.sum(per_seq * weights.astype(jnp.float32)), logits
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss_sum, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        loss_sum = self._psum(loss_sum)
+        w_sum = self._psum(jnp.sum(weights.astype(jnp.float32)))
+        grads = jax.tree_util.tree_map(lambda g: self._psum(g), grads)
+        denom = jnp.maximum(w_sum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        loss = loss_sum / denom
         gnorm = optax.global_norm(grads)
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params
@@ -180,9 +201,9 @@ class Trainer:
         logits = self.model.apply(
             state.params, inputs, input_lengths, train=False
         )
-        loss = ctc.ctc_loss_mean(
+        per_seq = ctc.ctc_loss(
             logits, input_lengths, labels, label_lengths,
-            blank_id=self.model.blank_id, weights=weights,
+            blank_id=self.model.blank_id,
         )
         decoded, dec_lens = ctc.greedy_decode(
             logits, input_lengths, blank_id=self.model.blank_id
@@ -190,14 +211,16 @@ class Trainer:
         dist = metrics_ops.edit_distance(
             decoded, dec_lens, labels, label_lengths
         ).astype(jnp.float32)
-        denom = jnp.maximum(
-            jnp.sum(label_lengths.astype(jnp.float32) * weights), 1.0
-        )
+        w = weights.astype(jnp.float32)
+        loss_sum = self._psum(jnp.sum(per_seq * w))
+        edit = self._psum(jnp.sum(dist * w))
+        chars = self._psum(jnp.sum(label_lengths.astype(jnp.float32) * w))
+        num = self._psum(jnp.sum(w))
         return {
-            "loss": loss,
-            "edit_dist": jnp.sum(dist * weights),
-            "label_chars": denom,
-            "num_seqs": jnp.sum(weights),
+            "loss": loss_sum / jnp.maximum(num, 1.0),
+            "edit_dist": edit,
+            "label_chars": jnp.maximum(chars, 1.0),
+            "num_seqs": num,
         }
 
     # -- host-side convenience -------------------------------------------

@@ -4,9 +4,20 @@ inference pipeline — feature extraction + BLSTM + CTC greedy decode — on
 LapsBM-shaped utterances (BASELINE.json config 2; target > 50x real time
 per chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is value / 50 (the driver's north-star target; the reference
-itself has no published numbers — BASELINE.md).
+itself has no published numbers — BASELINE.md).  Extra keys give the
+hardware-utilization picture VERDICT r1 asked for:
+
+- ``flops_per_batch``: analytic FLOP count of the compiled pipeline
+  (DFT + mel/DCT matmuls + BLSTM input/recurrent projections + classifier).
+- ``mfu_pct``: achieved FLOP/s over the chip's published peak (dense
+  bf16 MXU peak; the pipeline's parity-critical matmuls run f32, which the
+  MXU executes at a fraction of bf16 peak, so this is a conservative floor).
+- ``onchip_ms_per_batch``: per-batch device time with the per-call
+  dispatch/tunnel overhead amortized out (wall(M batches) - wall(1 batch))
+  / (M - 1) — the component the ~28 ms network round-trip floor hides from
+  single-call timings.
 
 Methodology:
 - LapsBM audio is not shipped in this image, so the benchmark synthesizes
@@ -18,10 +29,16 @@ Methodology:
 - The featurizer is the fused Pallas kernel (features/pallas_fbank.py),
   falling back to the XLA matmul-DFT path if Pallas lowering fails.
 - Steady-state throughput over several in-flight batches (async dispatch
-  pipelines H2D with compute), wall-clocked end to end.
+  pipelines H2D with compute); MEDIAN of 5 rounds (r1's min-of-3 was
+  fragile to host contention on this single-core box — the driver's
+  official run landed 1.8x under the builder's; median + more rounds +
+  the persistent compile cache make the two converge).
+- Timing is fetch-based: on this backend ``block_until_ready`` is a no-op,
+  so every round materializes the decoded outputs on the host.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -34,12 +51,37 @@ import jax.numpy as jnp
 
 from asr_study_tpu.models.zoo import build_model
 from asr_study_tpu.ops.ctc import greedy_decode
+from asr_study_tpu.utils.platform import setup_compilation_cache
 
 SR = 16000
 BATCH = 32
-N_BATCHES = 4
+N_BATCHES = 8
+ROUNDS = 5
 SECONDS = (3.0, 8.0)          # LapsBM-like utterance durations
 TARGET_RTF = 50.0
+HIDDEN = 256
+LAYERS = 2
+NUM_CLASSES = 27
+
+# Dense matmul peak by device generation (FLOP/s, bf16 MXU; f32 runs at a
+# fraction of this, so MFU reported against it is a conservative floor).
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 197e12
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12
 
 
 def synth_batch(rng: np.random.RandomState):
@@ -69,7 +111,33 @@ def make_featurizer():
         return DeviceFeaturizer(kind="mfcc", d=True, dd=True), "xla"
 
 
+def pipeline_flops(featurizer, t_frames: int, num_feats: int) -> float:
+    """Analytic FLOPs per batch of the compiled pipeline (2*M*N*K per
+    matmul; elementwise/reduction terms are <1% and ignored)."""
+    b, t = BATCH, t_frames
+    frame_len = featurizer.frame_len
+    k_bins = featurizer.nfft // 2 + 1
+    nfilt = featurizer.nfilt
+    ncep = featurizer.num_cep
+    fl = 0.0
+    fl += 2 * 2.0 * b * t * frame_len * k_bins        # DFT cos+sin matmuls
+    fl += 2.0 * b * t * k_bins * nfilt                # mel projection
+    fl += 2.0 * b * t * nfilt * ncep                  # DCT
+    # BLSTM: per layer per direction, input proj + T recurrent matmuls
+    f_in = num_feats
+    for _ in range(LAYERS):
+        per_dir = (
+            2.0 * t * b * f_in * 4 * HIDDEN           # hoisted input proj
+            + t * 2.0 * b * HIDDEN * 4 * HIDDEN       # recurrence
+        )
+        fl += 2 * per_dir                             # bidirectional
+        f_in = 2 * HIDDEN
+    fl += 2.0 * t * b * f_in * (NUM_CLASSES + 1)      # classifier
+    return fl
+
+
 def main() -> int:
+    setup_compilation_cache()  # driver runs start cold; reruns must not
     rng = np.random.RandomState(0)
     batches = []
     total_audio = 0.0
@@ -86,8 +154,9 @@ def main() -> int:
 
     featurizer, feat_kind = make_featurizer()
     model = build_model(
-        "deep_blstm", {"num_hiddens": 256, "num_layers": 2, "dropout": 0.0},
-        num_classes=27,
+        "deep_blstm", {"num_hiddens": HIDDEN, "num_layers": LAYERS,
+                       "dropout": 0.0},
+        num_classes=NUM_CLASSES,
     )
     params = model.init(jax.random.PRNGKey(0), featurizer.num_feats)
 
@@ -123,20 +192,38 @@ def main() -> int:
 
     # steady state: dispatch all batches (queue overlaps H2D with compute),
     # then fetch every decoded output
-    times = []
-    for _ in range(3):
+    walls, singles = [], []
+    for _ in range(ROUNDS):
         t0 = time.perf_counter()
         outs = [run(*b) for b in batches]
         fetch(outs)
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
+        walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fetch([run(*batches[0])])
+        singles.append(time.perf_counter() - t0)
+    wall = statistics.median(walls)
+    single = statistics.median(singles)
     rtf = total_audio / wall
+
+    # hardware-utilization accounting
+    t_frames = int(
+        np.ceil((n_pad - featurizer.frame_len) / featurizer.frame_step)
+    ) + 1
+    fl_batch = pipeline_flops(featurizer, t_frames, featurizer.num_feats)
+    onchip_s = max((wall - single) / (N_BATCHES - 1), 1e-9)
+    mfu = fl_batch * N_BATCHES / wall / _peak_flops()
     print(json.dumps({
         "metric": "rtf_feature_blstm_greedy_lapsbm_like",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / TARGET_RTF, 3),
         "featurizer": feat_kind,
+        "flops_per_batch": round(fl_batch),
+        "mfu_pct": round(100 * mfu, 2),
+        "onchip_ms_per_batch": round(onchip_s * 1e3, 2),
+        "wall_s_median": round(wall, 4),
+        "rounds": ROUNDS,
+        "batches_in_flight": N_BATCHES,
     }))
     return 0
 

@@ -128,6 +128,39 @@ class TestDataParallel:
         for a, c in zip(flat1, flat8):
             np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
+    def test_mesh_matches_single_device_pallas_backend(self, monkeypatch):
+        """DP parity with the Pallas recurrence engaged (interpret mode):
+        the kernel's custom-VJP path must shard/replicate correctly under
+        jit-with-shardings, not just the lax.scan path."""
+        from asr_study_tpu.models import rnn as rnn_mod
+
+        monkeypatch.setattr(rnn_mod, "RNN_BACKEND", "pallas")
+        b = _toy_batch(jax.random.PRNGKey(1))
+        rng = jax.random.PRNGKey(2)
+
+        _, t_single = _toy_trainer(mesh=None)
+        s_single = t_single.init_state(jax.random.PRNGKey(0), input_dim=5)
+        s1, m1 = t_single.train_step(
+            s_single, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], rng,
+        )
+
+        mesh = make_mesh(8)
+        _, t_dp = _toy_trainer(mesh=mesh)
+        s_dp = t_dp.init_state(jax.random.PRNGKey(0), input_dim=5)
+        s8, m8 = t_dp.train_step(
+            s_dp, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], rng,
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+        )
+        for a, c in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s8.params),
+        ):
+            np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
     def test_eval_step_on_mesh(self):
         mesh = make_mesh(8)
         _, trainer = _toy_trainer(mesh=mesh)
