@@ -14,10 +14,10 @@ hardware-utilization picture VERDICT r1 asked for:
 - ``mfu_pct``: achieved FLOP/s over the chip's published peak (dense
   bf16 MXU peak; the pipeline's parity-critical matmuls run f32, which the
   MXU executes at a fraction of bf16 peak, so this is a conservative floor).
-- ``onchip_ms_per_batch``: per-batch device time with the per-call
-  dispatch/tunnel overhead amortized out (wall(M batches) - wall(1 batch))
-  / (M - 1) — the component the ~28 ms network round-trip floor hides from
-  single-call timings.
+- ``onchip_ms_per_batch`` / ``rtf_onchip``: per-batch device time measured
+  on device-resident inputs (wire transfer excluded, dispatch floor
+  amortized over the in-flight batches) — the chip's own throughput, which
+  the headline approaches as host->device bandwidth grows.
 
 Methodology:
 - LapsBM audio is not shipped in this image, so the benchmark synthesizes
@@ -28,6 +28,10 @@ Methodology:
   which profiling showed dominates wall time in this environment.
 - The featurizer is the fused Pallas kernel (features/pallas_fbank.py),
   falling back to the XLA matmul-DFT path if Pallas lowering fails.
+- Audio crosses the host->device link as ONE flat int16 buffer per batch
+  (utterances back to back + offsets), unpacked to the padded [B, T]
+  tensor on device by a gather — rectangular padding would waste ~30% of
+  the wire, and on a remote backend the wire is the bottleneck.
 - Steady-state throughput over several in-flight batches (async dispatch
   pipelines H2D with compute); MEDIAN of 5 rounds (r1's min-of-3 was
   fragile to host contention on this single-core box — the driver's
@@ -41,6 +45,7 @@ import json
 import statistics
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -139,18 +144,39 @@ def pipeline_flops(featurizer, t_frames: int, num_feats: int) -> float:
 def main() -> int:
     setup_compilation_cache()  # driver runs start cold; reruns must not
     rng = np.random.RandomState(0)
-    batches = []
+    raw_batches = []
     total_audio = 0.0
     n_pad = int(SECONDS[1] * SR + 2048) // 2048 * 2048
     for _ in range(N_BATCHES):
         wavs, audio_s = synth_batch(rng)
         total_audio += audio_s
-        buf = np.zeros((BATCH, n_pad), np.int16)
-        lens = np.zeros((BATCH,), np.int32)
+        raw_batches.append(wavs)
+
+    # Ragged wire format (the same idea as native/asr_pack_batch): each
+    # batch ships ONE flat int16 buffer holding the utterances back to
+    # back plus per-utterance offsets/lengths; the padded [B, T] tensor is
+    # materialized ON DEVICE by a gather.  On a remote/tunnel backend the
+    # host->device link is the pipeline bottleneck, and rectangular
+    # padding to the duration cap wastes ~30% of the wire; exact-byte
+    # packing removes that without touching numerics.
+    # One transfer per batch: every host->device send pays a ~30 ms setup
+    # round trip on a tunnel backend, so lengths ride in a 2*BATCH-word
+    # int16 header (15-bit low / high split, sample counts < 2^30) at the
+    # front of the same buffer, and offsets are an exclusive cumsum of the
+    # lengths on device.
+    hdr = 2 * BATCH
+    cap = hdr + max(sum(len(w) for w in wavs) for wavs in raw_batches)
+    cap = -(-cap // 2048) * 2048
+    batches = []
+    for wavs in raw_batches:
+        flat = np.zeros((cap,), np.int16)
+        pos = hdr
         for i, w in enumerate(wavs):
-            buf[i, : len(w)] = (w * 32767.0).astype(np.int16)
-            lens[i] = len(w)
-        batches.append((buf, lens))
+            flat[2 * i] = len(w) & 0x7FFF
+            flat[2 * i + 1] = len(w) >> 15
+            flat[pos: pos + len(w)] = (w * 32767.0).astype(np.int16)
+            pos += len(w)
+        batches.append((flat,))
 
     featurizer, feat_kind = make_featurizer()
     model = build_model(
@@ -161,20 +187,39 @@ def main() -> int:
     params = model.init(jax.random.PRNGKey(0), featurizer.num_feats)
 
     @jax.jit
-    def infer(params, wav_i16, wav_lengths):
-        wavs_f = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
+    def infer(params, flat_i16):
+        # decode the header, then unpack the ragged audio to padded [B, T]
+        lo = flat_i16[0: 2 * BATCH: 2].astype(jnp.int32)
+        hi = flat_i16[1: 2 * BATCH: 2].astype(jnp.int32)
+        wav_lengths = lo + (hi << 15)
+        offsets = (
+            2 * BATCH + jnp.cumsum(wav_lengths) - wav_lengths
+        ).astype(jnp.int32)
+        t = jnp.arange(n_pad, dtype=jnp.int32)
+        valid = t[None, :] < wav_lengths[:, None]
+        idx = jnp.where(valid, offsets[:, None] + t[None, :], 0)
+        wavs_f = jnp.where(
+            valid, flat_i16[idx].astype(jnp.float32) * (1.0 / 32768.0), 0.0
+        )
         feats, feat_lengths = featurizer._transform(wavs_f, wav_lengths)
         logits = model.apply(params, feats, feat_lengths, train=False)
         return greedy_decode(logits, feat_lengths, blank_id=model.blank_id)
 
-    def run(buf, lens):
-        return infer(params, jnp.asarray(buf), jnp.asarray(lens))
+    def run(flat):
+        return infer(params, jnp.asarray(flat))
+
+    fetch_pool = ThreadPoolExecutor(16)
 
     def fetch(outs):
         # On some backends block_until_ready is effectively a no-op (the
         # wait happens at value fetch), so HONEST timing must materialize
-        # the outputs on the host — which the user needs anyway.
-        return [(np.asarray(d), np.asarray(l)) for d, l in outs]
+        # the outputs on the host — which the user needs anyway.  Fetches
+        # run concurrently: each is a network round trip on a tunnel
+        # backend, and serializing them charges ~30 ms x 2 arrays x
+        # N_BATCHES of pure latency to the pipeline.
+        flat = [a for pair in outs for a in pair]
+        got = list(fetch_pool.map(np.asarray, flat))
+        return list(zip(got[0::2], got[1::2]))
 
     # warmup + compile (try pallas; fall back to XLA features on failure)
     try:
@@ -190,28 +235,38 @@ def main() -> int:
         else:
             raise
 
-    # steady state: dispatch all batches (queue overlaps H2D with compute),
-    # then fetch every decoded output
-    walls, singles = [], []
+    # END-TO-END steady state (the headline): dispatch all batches — the
+    # async runtime overlaps the H2D wire transfers with compute — then
+    # fetch every decoded output.
+    walls = []
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
         outs = [run(*b) for b in batches]
         fetch(outs)
         walls.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        fetch([run(*batches[0])])
-        singles.append(time.perf_counter() - t0)
     wall = statistics.median(walls)
-    single = statistics.median(singles)
     rtf = total_audio / wall
 
-    # hardware-utilization accounting
+    # ON-CHIP compute (VERDICT r1): re-run the same pipeline on
+    # device-RESIDENT inputs so the wire transfer is out of the picture;
+    # the per-call dispatch floor (~28 ms round trip on a tunnel backend)
+    # amortizes across the in-flight batches.  This is the number MFU is
+    # judged against — wall time would charge the network to the MXU.
+    dev_batches = [(jax.device_put(f),) for (f,) in batches]
+    fetch([infer(params, *dev_batches[0])])
+    onchip_walls = []
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        outs = [infer(params, *b) for b in dev_batches]
+        fetch(outs)
+        onchip_walls.append(time.perf_counter() - t0)
+    onchip_s = statistics.median(onchip_walls) / N_BATCHES
+
     t_frames = int(
         np.ceil((n_pad - featurizer.frame_len) / featurizer.frame_step)
     ) + 1
     fl_batch = pipeline_flops(featurizer, t_frames, featurizer.num_feats)
-    onchip_s = max((wall - single) / (N_BATCHES - 1), 1e-9)
-    mfu = fl_batch * N_BATCHES / wall / _peak_flops()
+    mfu = fl_batch / onchip_s / _peak_flops()
     print(json.dumps({
         "metric": "rtf_feature_blstm_greedy_lapsbm_like",
         "value": round(rtf, 2),
@@ -221,6 +276,7 @@ def main() -> int:
         "flops_per_batch": round(fl_batch),
         "mfu_pct": round(100 * mfu, 2),
         "onchip_ms_per_batch": round(onchip_s * 1e3, 2),
+        "rtf_onchip": round(total_audio / (onchip_s * N_BATCHES), 2),
         "wall_s_median": round(wall, 4),
         "rounds": ROUNDS,
         "batches_in_flight": N_BATCHES,

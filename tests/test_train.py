@@ -161,6 +161,40 @@ class TestDataParallel:
         ):
             np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
+    def test_mesh_ragged_weights_match_single_device(self):
+        """Zero-weight padding rows landing unevenly across shards: the
+        psum'd weighted-sum/weight-sum formulation must reproduce the
+        single-device weighted mean exactly (a per-shard mean-of-means
+        would not)."""
+        b = _toy_batch(jax.random.PRNGKey(1))
+        # 5 real rows: shards 0-4 get one real row each, shards 5-7 only
+        # padding — weight sums differ per shard.
+        w = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+        rng = jax.random.PRNGKey(2)
+
+        _, t_single = _toy_trainer(mesh=None)
+        s_single = t_single.init_state(jax.random.PRNGKey(0), input_dim=5)
+        s1, m1 = t_single.train_step(
+            s_single, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], w, rng,
+        )
+
+        mesh = make_mesh(8)
+        _, t_dp = _toy_trainer(mesh=mesh)
+        s_dp = t_dp.init_state(jax.random.PRNGKey(0), input_dim=5)
+        s8, m8 = t_dp.train_step(
+            s_dp, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], w, rng,
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+        )
+        for a, c in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s8.params),
+        ):
+            np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
     def test_eval_step_on_mesh(self):
         mesh = make_mesh(8)
         _, trainer = _toy_trainer(mesh=mesh)
