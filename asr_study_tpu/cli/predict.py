@@ -3,6 +3,14 @@
 Example::
 
     python predict.py --save runs/exp1 --input_parser mfcc audio1.wav ...
+
+Two serving paths:
+
+- default: host (NumPy oracle) features, matching the reference's
+  librosa-on-CPU behavior bit for bit — the parity path.
+- ``--on_device``: the TPU-first path — raw audio crosses the link once
+  per batch in the ragged int16 wire format (data/wire.py) and features,
+  acoustic model, and decoding all run inside ONE jitted program.
 """
 
 from __future__ import annotations
@@ -28,9 +36,65 @@ def build_argparser() -> argparse.ArgumentParser:
                    help='feature kwargs as JSON, e.g. \'{"d": true}\'')
     p.add_argument("--beam_width", type=int, default=0)
     p.add_argument("--best", action="store_true")
+    p.add_argument("--on_device", action="store_true",
+                   help="extract features on the accelerator (fused "
+                        "wire->features->model->decode program)")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="utterances per device batch with --on_device")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
     return p
+
+
+def _decode(logits, lengths, beam_width: int, blank_id: int):
+    """Greedy or best-path beam decode; jit-safe."""
+    if beam_width > 0:
+        dec, lens, _ = beam_search_decode(
+            logits, lengths, beam_width=beam_width, blank_id=blank_id,
+        )
+        return dec[:, 0], lens[:, 0]
+    return greedy_decode(logits, lengths, blank_id=blank_id)
+
+
+def _predict_on_device(args, model, state, feat_kw):
+    """Ragged wire -> device features -> model -> decode, one jit."""
+    from asr_study_tpu.data import wire
+    from asr_study_tpu.features.wav import read_wav
+
+    def build(cls):
+        return cls(kind=args.input_parser, **feat_kw)
+
+    wavs = [read_wav(p)[0] for p in args.wavs]
+    batch = max(1, min(args.batch_size, len(wavs)))
+    n_pad = -(-max(len(w) for w in wavs) // 2048) * 2048
+    bufs, _cap = wire.pack_batches(wavs, batch)
+
+    def make_serve(featurizer):
+        @jax.jit
+        def serve(params, flat):
+            w, lens = wire.unpack_audio(flat, batch, n_pad)
+            feats, feat_lengths = featurizer._transform(w, lens)
+            logits = model.apply(params, feats, feat_lengths, train=False)
+            return _decode(
+                logits, feat_lengths, args.beam_width, model.blank_id
+            )
+        return serve
+
+    try:
+        from asr_study_tpu.features.pallas_fbank import PallasFeaturizer
+
+        serve = make_serve(build(PallasFeaturizer))
+        outs = [serve(state.params, b) for b in bufs]
+        np.asarray(outs[0][0])  # force compile; fall back if Mosaic rejects
+    except Exception:
+        from asr_study_tpu.features.device import DeviceFeaturizer
+
+        serve = make_serve(build(DeviceFeaturizer))
+        outs = [serve(state.params, b) for b in bufs]
+
+    dec = np.concatenate([np.asarray(d) for d, _ in outs])[: len(wavs)]
+    lens = np.concatenate([np.asarray(l) for _, l in outs])[: len(wavs)]
+    return dec, lens
 
 
 def main(argv=None) -> int:
@@ -46,29 +110,27 @@ def main(argv=None) -> int:
     model, state, _ = load_run(args.save, label_parser, best=args.best)
 
     feat_kw = json.loads(args.input_params) if args.input_params else {}
-    feature = get_from_module("feature", args.input_parser)(**feat_kw)
 
-    feats = [feature(w).astype(np.float32) for w in args.wavs]
-    t_max = max(f.shape[0] for f in feats)
-    batch = np.zeros((len(feats), t_max, feats[0].shape[1]), np.float32)
-    lengths = np.zeros((len(feats),), np.int32)
-    for i, f in enumerate(feats):
-        batch[i, : f.shape[0]] = f
-        lengths[i] = f.shape[0]
-
-    logits = jax.jit(
-        lambda p, x, l: model.apply(p, x, l, train=False)
-    )(state.params, batch, lengths)
-    if args.beam_width > 0:
-        dec, lens, _ = beam_search_decode(
-            logits, lengths, beam_width=args.beam_width,
-            blank_id=model.blank_id,
-        )
-        dec, lens = dec[:, 0], lens[:, 0]
+    if args.on_device:
+        dec, lens = _predict_on_device(args, model, state, feat_kw)
     else:
-        dec, lens = greedy_decode(logits, lengths, blank_id=model.blank_id)
+        feature = get_from_module("feature", args.input_parser)(**feat_kw)
+        feats = [feature(w).astype(np.float32) for w in args.wavs]
+        t_max = max(f.shape[0] for f in feats)
+        batch = np.zeros((len(feats), t_max, feats[0].shape[1]), np.float32)
+        lengths = np.zeros((len(feats),), np.int32)
+        for i, f in enumerate(feats):
+            batch[i, : f.shape[0]] = f
+            lengths[i] = f.shape[0]
+
+        @jax.jit
+        def serve(p, x, l):
+            logits = model.apply(p, x, l, train=False)
+            return _decode(logits, l, args.beam_width, model.blank_id)
+
+        dec, lens = serve(state.params, batch, lengths)
     dec, lens = np.asarray(dec), np.asarray(lens)
-    for path, i in zip(args.wavs, range(len(feats))):
+    for i, path in enumerate(args.wavs):
         print(json.dumps(
             {"file": path, "transcript": label_parser.imap(dec[i, : lens[i]])}
         ))

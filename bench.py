@@ -58,6 +58,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from asr_study_tpu.data import wire
 from asr_study_tpu.models.zoo import build_model
 from asr_study_tpu.ops.ctc import greedy_decode
 from asr_study_tpu.utils.platform import setup_compilation_cache
@@ -163,31 +164,20 @@ def main() -> int:
         total_audio += audio_s
         raw_batches.append(wavs)
 
-    # Ragged wire format (the same idea as native/asr_pack_batch): each
-    # batch ships ONE flat int16 buffer holding the utterances back to
-    # back plus per-utterance offsets/lengths; the padded [B, T] tensor is
-    # materialized ON DEVICE by a gather.  On a remote/tunnel backend the
-    # host->device link is the pipeline bottleneck, and rectangular
-    # padding to the duration cap wastes ~30% of the wire; exact-byte
-    # packing removes that without touching numerics.
-    # One transfer per batch: every host->device send pays a ~30 ms setup
-    # round trip on a tunnel backend, so lengths ride in a 2*BATCH-word
-    # int16 header (15-bit low / high split, sample counts < 2^30) at the
-    # front of the same buffer, and offsets are an exclusive cumsum of the
-    # lengths on device.
-    hdr = 2 * BATCH
-    cap = hdr + max(sum(len(w) for w in wavs) for wavs in raw_batches)
-    cap = -(-cap // 2048) * 2048
-    batches = []
-    for wavs in raw_batches:
-        flat = np.zeros((cap,), np.int16)
-        pos = hdr
-        for i, w in enumerate(wavs):
-            flat[2 * i] = len(w) & 0x7FFF
-            flat[2 * i + 1] = len(w) >> 15
-            flat[pos: pos + len(w)] = (w * 32767.0).astype(np.int16)
-            pos += len(w)
-        batches.append((flat,))
+    # Ragged one-transfer wire format (data/wire.py — also the predict
+    # CLI's --on_device serving path): each batch ships ONE flat int16
+    # buffer (length header + utterances back to back); offsets are
+    # recomputed on device and the padded [B, T] tensor is materialized
+    # by scanned contiguous dynamic-slices.  On a remote/tunnel backend
+    # every extra transfer costs a ~30 ms setup round trip and
+    # rectangular padding wastes ~30% of the wire.
+    cap = max(
+        wire.wire_cap(BATCH, sum(len(w) for w in wavs))
+        for wavs in raw_batches
+    )
+    batches = [
+        (wire.pack_audio(wavs, cap, batch=BATCH),) for wavs in raw_batches
+    ]
 
     featurizer, feat_kind = make_featurizer()
     model = build_model(
@@ -198,28 +188,7 @@ def main() -> int:
     params = model.init(jax.random.PRNGKey(0), featurizer.num_feats)
 
     def _pipeline(params, flat_i16):
-        # decode the header, then unpack the ragged audio to padded [B, T]
-        lo = flat_i16[0: 2 * BATCH: 2].astype(jnp.int32)
-        hi = flat_i16[1: 2 * BATCH: 2].astype(jnp.int32)
-        wav_lengths = lo + (hi << 15)
-        offsets = (
-            2 * BATCH + jnp.cumsum(wav_lengths) - wav_lengths
-        ).astype(jnp.int32)
-        # per-row contiguous dynamic-slice (scanned) instead of one big
-        # gather: XLA lowers the slice to a DMA copy — measured 4.3 ms vs
-        # 36.7 ms/batch for the equivalent gather on v5e
-        padded_flat = jnp.pad(flat_i16, (0, n_pad))
-        t = jnp.arange(n_pad, dtype=jnp.int32)
-
-        def row(carry, off_len):
-            off, ln = off_len
-            seg = jax.lax.dynamic_slice_in_dim(padded_flat, off, n_pad)
-            wav = jnp.where(
-                t < ln, seg.astype(jnp.float32) * (1.0 / 32768.0), 0.0
-            )
-            return carry, wav
-
-        _, wavs_f = jax.lax.scan(row, 0, (offsets, wav_lengths))
+        wavs_f, wav_lengths = wire.unpack_audio(flat_i16, BATCH, n_pad)
         feats, feat_lengths = featurizer._transform(wavs_f, wav_lengths)
         logits = model.apply(params, feats, feat_lengths, train=False)
         return greedy_decode(logits, feat_lengths, blank_id=model.blank_id)

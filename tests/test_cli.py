@@ -66,6 +66,52 @@ def test_json_manifest_flow(tmp_path):
     assert batch.texts is not None and batch.texts[0]
 
 
+def test_predict_on_device_batching(tmp_path):
+    """--on_device glue: wire batching, batch stitching, and partial-tail
+    truncation.  A stub acoustic model emits logits that peak at class
+    (num_frames mod 20), so the greedy decode deterministically encodes
+    each row's frame count — any row misordering/misalignment through
+    pack_batches/unpack_audio shows up as a wrong token."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr_study_tpu.cli.predict import _predict_on_device
+    from asr_study_tpu.features import audio
+    from asr_study_tpu.features.wav import write_wav
+
+    rng = np.random.RandomState(0)
+    paths, want = [], []
+    for i, n in enumerate([3000, 5000, 4000, 7000, 3500]):  # 2 batches @3
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, (rng.randn(n) * 0.2).astype(np.float32))
+        paths.append(p)
+        want.append(audio.num_frames(n, 400, 160) % 20)
+
+    class StubModel:
+        blank_id = 26
+
+        def apply(self, params, feats, lengths, train=False):
+            b, t, _ = feats.shape
+            cls = (lengths % 20).astype(jnp.int32)          # [B]
+            return jax.nn.one_hot(
+                jnp.broadcast_to(cls[:, None], (b, t)), 27
+            ) * 10.0
+
+    class StubState:
+        params = {}
+
+    args = argparse.Namespace(
+        wavs=paths, input_parser="mfcc", beam_width=0, batch_size=3,
+    )
+    dec, lens = _predict_on_device(args, StubModel(), StubState(), {})
+    assert dec.shape[0] == len(paths) and lens.shape[0] == len(paths)
+    assert list(lens) == [1] * len(paths)  # repeats collapse to one token
+    assert [int(dec[i, 0]) for i in range(len(paths))] == want
+
+
 def test_registry_error_lists_names():
     with pytest.raises(KeyError) as e:
         get_from_module("model", "definitely_not_a_model")

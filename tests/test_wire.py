@@ -1,0 +1,105 @@
+"""Ragged one-transfer wire format (data/wire.py): bit-exactness vs
+host-side padding, partial batches, overflow guards."""
+
+import jax
+import numpy as np
+import pytest
+
+from asr_study_tpu.data import wire
+
+
+def _wavs(seed=0, n=5, lo=1000, hi=9000):
+    rng = np.random.RandomState(seed)
+    return [
+        (rng.randn(rng.randint(lo, hi)) * 0.3).astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+def _host_padded(wavs, batch, n_pad):
+    out = np.zeros((batch, n_pad), np.float32)
+    lens = np.zeros((batch,), np.int32)
+    for i, w in enumerate(wavs):
+        q = (w.astype(np.float64) * 32767.0).astype(np.int16)
+        out[i, : len(w)] = q.astype(np.float32) / 32768.0
+        lens[i] = len(w)
+    return out, lens
+
+
+class TestRoundtrip:
+    def test_bit_exact_vs_host_padding(self):
+        wavs = _wavs()
+        b, n_pad = len(wavs), 10240
+        cap = wire.wire_cap(b, sum(len(w) for w in wavs))
+        flat = wire.pack_audio(wavs, cap)
+        got, lens = jax.jit(
+            wire.unpack_audio, static_argnums=(1, 2)
+        )(flat, b, n_pad)
+        want, want_lens = _host_padded(wavs, b, n_pad)
+        np.testing.assert_array_equal(np.asarray(lens), want_lens)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_int16_passthrough(self):
+        rng = np.random.RandomState(1)
+        wavs = [(rng.randn(3000) * 8000).astype(np.int16)]
+        cap = wire.wire_cap(1, 3000)
+        flat = wire.pack_audio(wavs, cap)
+        got, lens = wire.unpack_audio(flat, 1, 4096)
+        assert int(lens[0]) == 3000
+        np.testing.assert_array_equal(
+            np.asarray(got)[0, :3000],
+            wavs[0].astype(np.float32) / 32768.0,
+        )
+
+    def test_partial_final_batch(self):
+        """Fewer wavs than the batch: missing rows come back length 0."""
+        wavs = _wavs(n=3)
+        batch, n_pad = 8, 10240
+        cap = wire.wire_cap(batch, sum(len(w) for w in wavs))
+        flat = wire.pack_audio(wavs, cap, batch=batch)
+        got, lens = wire.unpack_audio(flat, batch, n_pad)
+        lens = np.asarray(lens)
+        assert list(lens[3:]) == [0] * 5
+        assert np.all(np.asarray(got)[3:] == 0.0)
+        want, _ = _host_padded(wavs, batch, n_pad)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_long_utterance_header_split(self):
+        """Lengths above 2^15 must survive the 15-bit header split."""
+        n = (1 << 15) + 12345
+        wavs = [np.zeros((n,), np.int16)]
+        flat = wire.pack_audio(wavs, wire.wire_cap(1, n))
+        _, lens = wire.unpack_audio(flat, 1, -(-n // 2048) * 2048)
+        assert int(lens[0]) == n
+
+
+class TestGuards:
+    def test_overflow_raises(self):
+        wavs = _wavs(n=2)
+        with pytest.raises(ValueError, match="overflow"):
+            wire.pack_audio(wavs, cap=64)
+
+    def test_too_many_wavs_raises(self):
+        with pytest.raises(ValueError, match="> batch"):
+            wire.pack_audio(_wavs(n=3), cap=1 << 16, batch=2)
+
+
+class TestPackBatches:
+    def test_shared_cap_and_contents(self):
+        wavs = _wavs(n=10)
+        bufs, cap = wire.pack_batches(wavs, batch=4)
+        assert len(bufs) == 3
+        assert all(b.shape == (cap,) for b in bufs)
+        n_pad = 10240
+        rows = []
+        for k, buf in enumerate(bufs):
+            got, lens = wire.unpack_audio(buf, 4, n_pad)
+            rows.extend(
+                np.asarray(got)[i] for i in range(min(4, len(wavs) - 4 * k))
+            )
+        want, _ = _host_padded(wavs, 10, n_pad)
+        np.testing.assert_array_equal(np.stack(rows), want)
+
+    def test_empty(self):
+        bufs, cap = wire.pack_batches([], batch=4)
+        assert bufs == [] and cap > 0
