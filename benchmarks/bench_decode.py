@@ -37,45 +37,56 @@ def main() -> int:
     rng = np.random.RandomState(0)
     # speech-like emissions: ~65% of frames blank-dominated (a trained CTC
     # model's posteriors), so --collapse shows its real effect
-    raw = rng.randn(args.batch, args.time, args.vocab).astype(np.float32)
-    is_blank = rng.rand(args.batch, args.time) < 0.65
+    K = 8  # distinct logit tensors scanned inside ONE program: per-call
+    #        timing is dispatch-bound (~30 ms round trip) on remote
+    #        backends, and a loop-INVARIANT body would be CSE'd by XLA
+    raw = rng.randn(K, args.batch, args.time, args.vocab).astype(np.float32)
+    is_blank = rng.rand(K, args.batch, args.time) < 0.65
     raw[..., -1] += np.where(is_blank, 10.0, -10.0)
-    logits = jnp.asarray(raw)
+    stack = jax.device_put(jnp.asarray(raw))
     lengths = jnp.full((args.batch,), args.time, jnp.int32)
     audio_s = args.batch * args.time * HOP_S
 
-    def timed(fn):
-        out = fn()
-        jax.tree_util.tree_map(np.asarray, out)  # fetch = completion
+    def timed(decode_one):
+        """decode_one(logits) -> pytree; returns best seconds/call over
+        `iters` runs of a K-deep scan (one dispatch + one scalar fetch)."""
+        @jax.jit
+        def loop(stack):
+            def body(acc, lg):
+                leaves = jax.tree_util.tree_leaves(decode_one(lg))
+                s = sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
+                return acc + s, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), stack)
+            return acc
+        float(loop(stack))  # compile + warm
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = fn()
-            jax.tree_util.tree_map(np.asarray, out)
+            float(loop(stack))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts) / K
 
-    g = jax.jit(lambda: greedy_decode(logits, lengths))
-    results = {"greedy": round(audio_s / timed(g), 1)}
+    results = {
+        "greedy": round(
+            audio_s / timed(lambda lg: greedy_decode(lg, lengths)), 1
+        )
+    }
     from asr_study_tpu.ops import blank_collapse
 
     for w in args.widths:
         if args.collapse > 0:
-            def f(w=w):
-                lg, ln, _ = blank_collapse(
-                    logits, lengths, threshold=args.collapse,
-                    keep_ratio=0.5,
+            def f(lg, w=w):
+                lg2, ln2, _ = blank_collapse(
+                    lg, lengths, threshold=args.collapse, keep_ratio=0.5,
                 )
                 return beam_search_decode(
-                    lg, ln, beam_width=w, prune=args.prune
+                    lg2, ln2, beam_width=w, prune=args.prune
                 )
-            f = jax.jit(f)
         else:
-            f = jax.jit(
-                lambda w=w: beam_search_decode(
-                    logits, lengths, beam_width=w, prune=args.prune
+            def f(lg, w=w):
+                return beam_search_decode(
+                    lg, lengths, beam_width=w, prune=args.prune
                 )
-            )
         tag = f"beam{w}" + (f"_p{args.prune}" if args.prune else "") + (
             f"_c{args.collapse}" if args.collapse else ""
         )

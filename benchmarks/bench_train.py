@@ -69,9 +69,14 @@ def main() -> int:
     state, m = step(state)  # compile
     float(m["loss"])        # fetch forces completion (block_until_ready is
     t0 = time.perf_counter()  # a no-op on some remote backends)
+    # Steps chain through `state`, so dispatching all of them and fetching
+    # ONLY the final loss times the whole sequence without paying a
+    # ~30 ms fetch round trip per step (which would serialize dispatch
+    # behind completion — the r1 methodology understated throughput ~2x
+    # on tunnel backends).
     for _ in range(args.steps):
         state, m = step(state)
-        float(m["loss"])
+    float(m["loss"])
     wall = time.perf_counter() - t0
     steps_per_s = args.steps / wall
     audio_s = args.batch * args.time * HOP_S
