@@ -104,6 +104,7 @@ class DeviceFeaturizer:
         mean_norm: bool = False,
         var_norm: bool = False,
         eps: float = audio.EPS,
+        log_floor: float = 0.0,
         dtype=jnp.float32,
     ):
         if kind not in ("raw", "fbank", "logfbank", "mfcc"):
@@ -131,6 +132,10 @@ class DeviceFeaturizer:
         self.mean_norm = mean_norm
         self.var_norm = var_norm
         self.eps = eps
+        # power-domain floor before any log (audio._SpectralFeature.log_floor)
+        self.log_floor = max(
+            float(log_floor), float(jnp.finfo(jnp.float32).eps)
+        )
         self.dtype = dtype
         if kind == "raw":
             self._call = jax.jit(self._transform)
@@ -238,22 +243,23 @@ class DeviceFeaturizer:
         if self.kind == "fbank":
             return self._finalize(feat, feat_lengths)
 
-        logfeat = jnp.log(feat)
+        # log_floor applies only where a log is taken (matches the oracle:
+        # linear fbank stays unfloored beyond the exact-zero eps guard)
+        logfeat = jnp.log(jnp.maximum(feat, self.log_floor))
+        log_e = jnp.log(jnp.maximum(energy, self.log_floor))
         if self.kind == "mfcc":
             cep = jnp.einsum(
                 "btf,fc->btc", logfeat, self._dct, precision=_PREC
             )
             cep = cep * self._lift
             if self.append_energy:
-                cep = cep.at[:, :, 0].set(jnp.log(energy))
+                cep = cep.at[:, :, 0].set(log_e)
             base = cep
         else:  # logfbank
             base = logfeat
             if self.append_energy:
                 # appended log-energy column (audio.LogFbank._transform)
-                base = jnp.concatenate(
-                    [base, jnp.log(energy)[..., None]], axis=-1
-                )
+                base = jnp.concatenate([base, log_e[..., None]], axis=-1)
 
         outs = [base]
         if self.d:

@@ -49,6 +49,7 @@ def _fbank_kernel(
     mfcc: bool,
     append_energy: bool,
     logfbank_energy: bool,
+    log_floor: float,
 ):
     # refs: view_0..view_{n_parts-1} [1, TT, hop], cos [L, K], sin [L, K],
     #       win [1, L], mel [K, nfilt], dct [nfilt, ncep], lift [1, ncep],
@@ -72,16 +73,14 @@ def _fbank_kernel(
 
     feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    feat = jnp.log(jnp.maximum(feat, jnp.finfo(jnp.float32).eps))
+    feat = jnp.log(jnp.maximum(feat, log_floor))
     if mfcc:
         cep = jnp.dot(feat, dct_ref[...], preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
         cep = cep * lift_ref[0, :]
         if append_energy:
             energy = jnp.sum(pspec, axis=-1, keepdims=True)
-            log_e = jnp.log(
-                jnp.maximum(energy, jnp.finfo(jnp.float32).eps)
-            )
+            log_e = jnp.log(jnp.maximum(energy, log_floor))
             col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
             cep = jnp.where(col == 0, log_e, cep)
         feat = cep
@@ -89,7 +88,7 @@ def _fbank_kernel(
         # appended log-energy column (audio.LogFbank append_energy=True);
         # lane-axis concat is Mosaic-legal (the framing above relies on it)
         energy = jnp.sum(pspec, axis=-1, keepdims=True)
-        log_e = jnp.log(jnp.maximum(energy, jnp.finfo(jnp.float32).eps))
+        log_e = jnp.log(jnp.maximum(energy, log_floor))
         feat = jnp.concatenate([feat, log_e], axis=-1)
     out_ref[0, :, :] = feat
 
@@ -162,6 +161,12 @@ class PallasFeaturizer(DeviceFeaturizer):
             mfcc=mfcc,
             append_energy=self.append_energy and mfcc,
             logfbank_energy=logfbank_energy,
+            # linear fbank exponentiates the kernel's log back: keep the
+            # eps-only floor there so log_floor never alters linear values
+            log_floor=(
+                float(jnp.finfo(jnp.float32).eps)
+                if self.kind == "fbank" else self.log_floor
+            ),
         )
         view_specs = [
             pl.BlockSpec(

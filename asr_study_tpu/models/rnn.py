@@ -198,6 +198,9 @@ class RNNLayer:
         kf = kb = None
         if key is not None:
             kf, kb = jax.random.split(key)
+        fused = self._apply_fused_bidi(params, x, mask, train)
+        if fused is not None:
+            return fused
         xp_f = self.cell.input_proj(params["fw"], x)
         out_f = scan_cell(self.cell, params["fw"], xp_f, mask, kf, train,
                           reverse=False, unroll=self.unroll)
@@ -207,6 +210,48 @@ class RNNLayer:
         out_b = scan_cell(self.cell, params["bw"], xp_b, mask, kb, train,
                           reverse=True, unroll=self.unroll)
         return jnp.concatenate([out_f, out_b], axis=-1)
+
+    def _apply_fused_bidi(self, params, x, mask, train):
+        """Both directions in ONE Pallas kernel (ops/pallas_bilstm.py) —
+        halves launches/grid steps and skips the [::-1] HBM copies of the
+        reverse-scan formulation.  Returns None when ineligible (then the
+        per-direction path runs).  ASR_RNN_FUSED=0 disables."""
+        cell = self.cell
+        if not (
+            self.bidirectional
+            and RNN_BACKEND != "scan"
+            and os.environ.get("ASR_RNN_FUSED", "1") != "0"
+            and type(cell) is LSTMCell
+            and cell.dtype == jnp.float32
+        ):
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if RNN_BACKEND != "pallas" and not on_tpu:
+            return None
+        from asr_study_tpu.ops.pallas_bilstm import pallas_bilstm
+
+        m2 = mask.astype(jnp.float32)
+        xp_f = (
+            cell.input_proj(params["fw"], x).astype(jnp.float32)
+            + params["fw"]["b"].astype(jnp.float32)
+        )
+        xp_b = (
+            cell.input_proj(params["bw"], x).astype(jnp.float32)
+            + params["bw"]["b"].astype(jnp.float32)
+        )
+        xp_f, wh_f, h_eff = _pad_hidden(
+            xp_f, params["fw"]["wh"], cell.hidden, cell.num_gates
+        )
+        xp_b, wh_b, _ = _pad_hidden(
+            xp_b, params["bw"]["wh"], cell.hidden, cell.num_gates
+        )
+        out_f, out_b = pallas_bilstm(
+            xp_f, xp_b, m2, wh_f, wh_b, h_eff, interpret=not on_tpu
+        )
+        if h_eff != cell.hidden:
+            out_f = out_f[..., : cell.hidden]
+            out_b = out_b[..., : cell.hidden]
+        return jnp.concatenate([out_f, out_b], axis=-1) * mask
 
 
 class StackedRNN:

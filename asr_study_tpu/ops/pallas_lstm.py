@@ -31,13 +31,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# In-kernel recurrent-matmul precision for f32 weights.  On TPU, f32
+# matmuls are emulated as bf16 MXU passes: DEFAULT=1 pass, HIGHEST=6
+# (Mosaic does not lower HIGH).  The recurrence is the pipeline's serial
+# critical path, so this knob trades MXU passes directly for wall time
+# (v5e, 2x256 BLSTM fwd: 6.96 -> 5.41 ms/batch).  DEFAULT matches the
+# precision the lax.scan backend's un-annotated dots already get on TPU
+# (cells._dot), and cross-precision training parity was measured at 0.1
+# loss after 21 steps — so DEFAULT is the default; set
+# ASR_RNN_MM_PRECISION=highest for f32-exact gate matmuls.
+_MM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[__import__("os").environ.get("ASR_RNN_MM_PRECISION", "default")]
+
 
 def _mm(x, w_ref):
     """Recurrent matmul in the weights' dtype with f32 accumulation.
-    HIGHEST precision only applies to f32 weights — Mosaic rejects
+    The precision knob only applies to f32 weights — Mosaic rejects
     fp32-contract-precision on bf16 operands."""
     w = w_ref[...]
-    prec = _PREC if w.dtype == jnp.float32 else None
+    prec = _MM_PRECISION if w.dtype == jnp.float32 else None
     return jnp.dot(
         x.astype(w.dtype), w,
         preferred_element_type=jnp.float32, precision=prec,
@@ -87,6 +101,50 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, c_out_ref,
     c_scr[...] = c
 
 
+def _lstm_row_bwd(i, dh_next, dc_next, xp_ref, mask_ref, hprev_ref,
+                  cprev_ref, c_ref, dh_out_ref, wh_ref, wht_ref, dxp_ref,
+                  hidden: int):
+    """Reverse-mode cell math for ONE row ``i`` of the current block.
+    Shared by the uni- and bidirectional backward kernels; the caller
+    chooses the row walk order (descending for a forward-time scan,
+    ascending for a reversed one)."""
+    h_prev = hprev_ref[i]
+    c_prev = cprev_ref[i]
+    c_t = c_ref[i]
+    m = mask_ref[i]                                     # [B, 1]
+
+    # recompute gate activations (cheaper than storing [T, B, 4H])
+    gates = xp_ref[i] + _mm(h_prev, wh_ref)
+    ii = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+
+    dh = dh_out_ref[i] + dh_next
+    tc = jnp.tanh(c_t)
+    do = dh * tc
+    dc = dc_next + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * ii
+    dpre = jnp.concatenate(
+        [
+            di * ii * (1.0 - ii),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )                                                    # [B, 4H]
+    dpre = jnp.where(m > 0, dpre, 0.0)
+    dh_rec = _mm(dpre, wht_ref)
+    # masked frames pass state (and its cotangent) straight through
+    dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
+    dc_prev = jnp.where(m > 0, dc * f, dc)
+    dxp_ref[i] = dpre
+    return (dh_prev, dc_prev)
+
+
 def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
                 wh_ref, wht_ref, dxp_ref, dh_scr, dc_scr,
                 *, hidden: int, chunk: int):
@@ -101,43 +159,11 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
     def body(k, carry):
-        i = chunk - 1 - k
         dh_next, dc_next = carry
-        h_prev = hprev_ref[i]
-        c_prev = cprev_ref[i]
-        c_t = c_ref[i]
-        m = mask_ref[i]                                 # [B, 1]
-
-        # recompute gate activations (cheaper than storing [T, B, 4H])
-        gates = xp_ref[i] + _mm(h_prev, wh_ref)
-        ii = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
-
-        dh = dh_out_ref[i] + dh_next
-        tc = jnp.tanh(c_t)
-        do = dh * tc
-        dc = dc_next + dh * o * (1.0 - tc * tc)
-        di = dc * g
-        df = dc * c_prev
-        dg = dc * ii
-        dpre = jnp.concatenate(
-            [
-                di * ii * (1.0 - ii),
-                df * f * (1.0 - f),
-                dg * (1.0 - g * g),
-                do * o * (1.0 - o),
-            ],
-            axis=-1,
-        )                                                # [B, 4H]
-        dpre = jnp.where(m > 0, dpre, 0.0)
-        dh_rec = _mm(dpre, wht_ref)
-        # masked frames pass state (and its cotangent) straight through
-        dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
-        dc_prev = jnp.where(m > 0, dc * f, dc)
-        dxp_ref[i] = dpre
-        return (dh_prev, dc_prev)
+        return _lstm_row_bwd(
+            chunk - 1 - k, dh_next, dc_next, xp_ref, mask_ref, hprev_ref,
+            cprev_ref, c_ref, dh_out_ref, wh_ref, wht_ref, dxp_ref, hidden,
+        )
 
     dh, dc = jax.lax.fori_loop(
         0, chunk, body, (dh_scr[...], dc_scr[...])
@@ -180,9 +206,11 @@ def _vmem_budget() -> int:
     return 12 * 2**20
 
 
-def _budget_chunk(cap: int, t_steps: int, per_frame_bytes: int) -> int:
+def _budget_chunk(cap: int, t_steps: int, per_frame_bytes: int,
+                  budget: int | None = None) -> int:
+    budget = budget or _vmem_budget()
     c = min(cap, t_steps)
-    while c > 1 and c * per_frame_bytes * 2 > _vmem_budget():
+    while c > 1 and c * per_frame_bytes * 2 > budget:
         c //= 2
     return max(c, 1)
 

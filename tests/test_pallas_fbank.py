@@ -31,6 +31,35 @@ def test_pallas_matches_xla_path(kind, kw):
     )
 
 
+@pytest.mark.parametrize("kind,kw", [
+    ("mfcc", {}),
+    ("logfbank", {"append_energy": True, "d": True, "dd": True}),
+])
+def test_pallas_log_floor_tight_oracle_parity(kind, kw):
+    """With the power-domain log floor the fused kernel matches the f64
+    oracle TIGHTLY (no near-silent-channel log blowup)."""
+    np_cls = audio.MFCC if kind == "mfcc" else audio.LogFbank
+    kw = dict(kw, log_floor=1e-2)
+    wavs, lengths = _rand_wavs(batch=2, n=7000)
+    pal = PallasFeaturizer(kind=kind, interpret=True, **kw)
+    feats, fl = pal(wavs, lengths)
+    for i in range(2):
+        want = np_cls(**kw)(wavs[i, : lengths[i]])
+        got = np.asarray(feats)[i, : int(fl[i])]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_pallas_fbank_unaffected_by_log_floor():
+    """Linear fbank must ignore log_floor (the kernel's log/exp round trip
+    keeps the eps-only floor)."""
+    wavs, lengths = _rand_wavs(batch=1, n=4000)
+    a = PallasFeaturizer(kind="fbank", interpret=True)(wavs, lengths)[0]
+    b = PallasFeaturizer(kind="fbank", interpret=True, log_floor=1e-2)(
+        wavs, lengths
+    )[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_matches_numpy_oracle():
     wavs, lengths = _rand_wavs(batch=2, n=7000)
     pal = PallasFeaturizer(kind="mfcc", interpret=True)
