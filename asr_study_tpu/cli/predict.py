@@ -41,6 +41,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "wire->features->model->decode program)")
     p.add_argument("--batch_size", type=int, default=8,
                    help="utterances per device batch with --on_device")
+    p.add_argument("--wire_codec", default="pcm16",
+                   choices=("pcm16", "mulaw"),
+                   help="--on_device wire encoding: pcm16 (lossless) or "
+                        "mulaw (8-bit companded, half the wire bytes)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
     return p
@@ -67,12 +71,14 @@ def _predict_on_device(args, model, state, feat_kw):
     wavs = [read_wav(p)[0] for p in args.wavs]
     batch = max(1, min(args.batch_size, len(wavs)))
     n_pad = -(-max(len(w) for w in wavs) // 2048) * 2048
-    bufs, _cap = wire.pack_batches(wavs, batch)
+    bufs, _cap = wire.pack_batches(wavs, batch, codec=args.wire_codec)
 
     def make_serve(featurizer):
         @jax.jit
         def serve(params, flat):
-            w, lens = wire.unpack_audio(flat, batch, n_pad)
+            w, lens = wire.unpack_audio(
+                flat, batch, n_pad, codec=args.wire_codec
+            )
             feats, feat_lengths = featurizer._transform(w, lens)
             logits = model.apply(params, feats, feat_lengths, train=False)
             return _decode(

@@ -212,23 +212,27 @@ class RNNLayer:
         return jnp.concatenate([out_f, out_b], axis=-1)
 
     def _apply_fused_bidi(self, params, x, mask, train):
-        """Both directions in ONE Pallas kernel (ops/pallas_bilstm.py) —
-        halves launches/grid steps and skips the [::-1] HBM copies of the
-        reverse-scan formulation.  Returns None when ineligible (then the
-        per-direction path runs).  ASR_RNN_FUSED=0 disables."""
+        """Both directions in ONE Pallas kernel (ops/pallas_bilstm.py /
+        pallas_bigru.py) — halves launches/grid steps and skips the [::-1]
+        HBM copies of the reverse-scan formulation.  Returns None when
+        ineligible (then the per-direction path runs).  ASR_RNN_FUSED=0
+        disables."""
         cell = self.cell
         if not (
             self.bidirectional
             and RNN_BACKEND != "scan"
             and os.environ.get("ASR_RNN_FUSED", "1") != "0"
-            and type(cell) is LSTMCell
+            and type(cell) in (LSTMCell, GRUCell)
             and cell.dtype == jnp.float32
         ):
             return None
         on_tpu = jax.default_backend() == "tpu"
         if RNN_BACKEND != "pallas" and not on_tpu:
             return None
-        from asr_study_tpu.ops.pallas_bilstm import pallas_bilstm
+        if type(cell) is LSTMCell:
+            from asr_study_tpu.ops.pallas_bilstm import pallas_bilstm as op
+        else:
+            from asr_study_tpu.ops.pallas_bigru import pallas_bigru as op
 
         m2 = mask.astype(jnp.float32)
         xp_f = (
@@ -245,7 +249,7 @@ class RNNLayer:
         xp_b, wh_b, _ = _pad_hidden(
             xp_b, params["bw"]["wh"], cell.hidden, cell.num_gates
         )
-        out_f, out_b = pallas_bilstm(
+        out_f, out_b = op(
             xp_f, xp_b, m2, wh_f, wh_b, h_eff, interpret=not on_tpu
         )
         if h_eff != cell.hidden:

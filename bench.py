@@ -64,6 +64,11 @@ from asr_study_tpu.ops.ctc import greedy_decode
 from asr_study_tpu.utils.platform import setup_compilation_cache
 
 SR = 16000
+# Wire encoding for the H2D audio transfer: pcm16 (default, lossless) or
+# mulaw (8-bit companded, HALF the wire bytes — data/wire.py).  The
+# headline stays pcm16; set ASR_BENCH_WIRE_CODEC=mulaw to measure the
+# bandwidth-bound serving configuration.
+WIRE_CODEC = os.environ.get("ASR_BENCH_WIRE_CODEC", "pcm16")
 BATCH = 32
 N_BATCHES = 8
 ROUNDS = 7
@@ -172,11 +177,12 @@ def main() -> int:
     # every extra transfer costs a ~30 ms setup round trip and
     # rectangular padding wastes ~30% of the wire.
     cap = max(
-        wire.wire_cap(BATCH, sum(len(w) for w in wavs))
+        wire.wire_cap(BATCH, sum(len(w) for w in wavs), codec=WIRE_CODEC)
         for wavs in raw_batches
     )
     batches = [
-        (wire.pack_audio(wavs, cap, batch=BATCH),) for wavs in raw_batches
+        (wire.pack_audio(wavs, cap, batch=BATCH, codec=WIRE_CODEC),)
+        for wavs in raw_batches
     ]
 
     featurizer, feat_kind = make_featurizer()
@@ -188,7 +194,9 @@ def main() -> int:
     params = model.init(jax.random.PRNGKey(0), featurizer.num_feats)
 
     def _pipeline(params, flat_i16):
-        wavs_f, wav_lengths = wire.unpack_audio(flat_i16, BATCH, n_pad)
+        wavs_f, wav_lengths = wire.unpack_audio(
+            flat_i16, BATCH, n_pad, codec=WIRE_CODEC
+        )
         feats, feat_lengths = featurizer._transform(wavs_f, wav_lengths)
         logits = model.apply(params, feats, feat_lengths, train=False)
         return greedy_decode(logits, feat_lengths, blank_id=model.blank_id)
@@ -298,6 +306,7 @@ def main() -> int:
         "wall_s_min": round(wall, 4),
         "rounds": ROUNDS,
         "batches_in_flight": N_BATCHES,
+        "wire_codec": WIRE_CODEC,
     }))
     return 0
 

@@ -66,12 +66,14 @@ def test_json_manifest_flow(tmp_path):
     assert batch.texts is not None and batch.texts[0]
 
 
-def test_predict_on_device_batching(tmp_path):
+@pytest.mark.parametrize("wire_codec", ["pcm16", "mulaw"])
+def test_predict_on_device_batching(tmp_path, wire_codec):
     """--on_device glue: wire batching, batch stitching, and partial-tail
-    truncation.  A stub acoustic model emits logits that peak at class
-    (num_frames mod 20), so the greedy decode deterministically encodes
-    each row's frame count — any row misordering/misalignment through
-    pack_batches/unpack_audio shows up as a wrong token."""
+    truncation, for both wire codecs.  A stub acoustic model emits logits
+    that peak at class (num_frames mod 20), so the greedy decode
+    deterministically encodes each row's frame count — any row
+    misordering/misalignment through pack_batches/unpack_audio shows up
+    as a wrong token."""
     import argparse
 
     import jax
@@ -105,6 +107,7 @@ def test_predict_on_device_batching(tmp_path):
 
     args = argparse.Namespace(
         wavs=paths, input_parser="mfcc", beam_width=0, batch_size=3,
+        wire_codec=wire_codec,
     )
     dec, lens = _predict_on_device(args, StubModel(), StubState(), {})
     assert dec.shape[0] == len(paths) and lens.shape[0] == len(paths)

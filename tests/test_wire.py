@@ -103,3 +103,56 @@ class TestPackBatches:
     def test_empty(self):
         bufs, cap = wire.pack_batches([], batch=4)
         assert bufs == [] and cap > 0
+
+
+class TestMulawCodec:
+    def test_encode_decode_roundtrip_snr(self):
+        """mu-law is lossy: check the companding round trip reaches the
+        expected ~38 dB SNR on speech-like signals, and is monotonic."""
+        rng = np.random.RandomState(3)
+        t = np.arange(16000) / 16000.0
+        x = (0.5 * np.sin(2 * np.pi * 200 * t)
+             + 0.1 * rng.randn(16000)).astype(np.float32)
+        x = np.clip(x, -1.0, 1.0)
+        codes = wire.mulaw_encode(x)
+        assert codes.dtype == np.int8
+        y = np.asarray(wire.mulaw_decode_device(codes))
+        snr = 10 * np.log10(np.mean(x**2) / np.mean((x - y) ** 2))
+        assert snr > 30.0, snr
+        # monotone: larger sample -> larger-or-equal code
+        xs = np.linspace(-1, 1, 1001)
+        cs = wire.mulaw_encode(xs)
+        assert np.all(np.diff(cs.astype(int)) >= 0)
+
+    def test_wire_roundtrip_matches_host_decode(self):
+        """Device unpack of a mulaw wire buffer must equal the host-side
+        encode->decode chain exactly (the quantization is the codec; the
+        wire adds no further error), including odd lengths and partial
+        batches."""
+        wavs = _wavs(seed=7, n=3, lo=999, hi=4001)
+        wavs[0] = wavs[0][:1001]                     # force odd length
+        b, n_pad = 4, 4608                           # partial batch of 4
+        cap = wire.wire_cap(b, sum(len(w) for w in wavs), codec="mulaw")
+        flat = wire.pack_audio(wavs, cap, batch=b, codec="mulaw")
+        got, lens = jax.jit(
+            wire.unpack_audio, static_argnums=(1, 2, 3)
+        )(flat, b, n_pad, "mulaw")
+        got = np.asarray(got)
+        assert int(lens[3]) == 0 and np.all(got[3] == 0.0)
+        for i, w in enumerate(wavs):
+            want = np.asarray(
+                wire.mulaw_decode_device(
+                    wire.mulaw_encode(np.clip(w, -1, 1))
+                )
+            )
+            np.testing.assert_allclose(
+                got[i, : len(w)], want, rtol=0, atol=1e-7
+            )
+            assert np.all(got[i, len(w):] == 0.0)
+
+    def test_wire_bytes_halved(self):
+        wavs = _wavs(seed=5)
+        total = sum(len(w) for w in wavs)
+        cap16 = wire.wire_cap(len(wavs), total, align=1)
+        cap8 = wire.wire_cap(len(wavs), total, align=1, codec="mulaw")
+        assert cap8 <= cap16 // 2 + 2 * len(wavs)
