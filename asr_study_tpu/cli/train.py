@@ -53,6 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of early steps")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files to "
+                        "<run>/tb (CSV is always written)")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
@@ -148,6 +151,7 @@ def main(argv=None) -> int:
         trainer, state, train_it, valid_it,
         epochs=args.epochs, seed=args.seed, ckpt=ckpt, hparams=hparams,
         log_dir=args.save, log_every=args.log_every, profile=args.profile,
+        tensorboard=args.tensorboard,
     )
     ckpt.close()
     return 0

@@ -222,36 +222,76 @@ class RNNLayer:
             self.bidirectional
             and RNN_BACKEND != "scan"
             and os.environ.get("ASR_RNN_FUSED", "1") != "0"
-            and type(cell) in (LSTMCell, GRUCell)
+            and type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell)
             and cell.dtype == jnp.float32
         ):
             return None
         on_tpu = jax.default_backend() == "tpu"
         if RNN_BACKEND != "pallas" and not on_tpu:
             return None
-        if type(cell) is LSTMCell:
-            from asr_study_tpu.ops.pallas_bilstm import pallas_bilstm as op
-        else:
-            from asr_study_tpu.ops.pallas_bigru import pallas_bigru as op
-
         m2 = mask.astype(jnp.float32)
-        xp_f = (
-            cell.input_proj(params["fw"], x).astype(jnp.float32)
-            + params["fw"]["b"].astype(jnp.float32)
-        )
-        xp_b = (
-            cell.input_proj(params["bw"], x).astype(jnp.float32)
-            + params["bw"]["b"].astype(jnp.float32)
-        )
-        xp_f, wh_f, h_eff = _pad_hidden(
-            xp_f, params["fw"]["wh"], cell.hidden, cell.num_gates
-        )
-        xp_b, wh_b, _ = _pad_hidden(
-            xp_b, params["bw"]["wh"], cell.hidden, cell.num_gates
-        )
-        out_f, out_b = op(
-            xp_f, xp_b, m2, wh_f, wh_b, h_eff, interpret=not on_tpu
-        )
+
+        if type(cell) is LayerNormLSTMCell:
+            from asr_study_tpu.ops.pallas_bi_ln_lstm import (
+                pallas_bi_ln_lstm,
+            )
+
+            def prep(p):
+                xpn = (
+                    LayerNormLSTMCell._blockwise_ln(
+                        p["ln_x"], cell.input_proj(p, x).astype(jnp.float32)
+                    )
+                    + p["b"].astype(jnp.float32)
+                    + p["ln_h"]["b"].astype(jnp.float32)
+                )
+                xpn, wh, h_eff = _pad_hidden(
+                    xpn, p["wh"], cell.hidden, cell.num_gates
+                )
+                gh = _pad_gate_vec(
+                    p["ln_h"]["g"].astype(jnp.float32),
+                    cell.hidden, h_eff, cell.num_gates,
+                )
+                gc = _pad_gate_vec(
+                    p["ln_c"]["g"].astype(jnp.float32), cell.hidden, h_eff, 1
+                )
+                bc = _pad_gate_vec(
+                    p["ln_c"]["b"].astype(jnp.float32), cell.hidden, h_eff, 1
+                )
+                return xpn, wh, gh, gc, bc, h_eff
+
+            xpn_f, wh_f, gh_f, gc_f, bc_f, h_eff = prep(params["fw"])
+            xpn_b, wh_b, gh_b, gc_b, bc_b, _ = prep(params["bw"])
+            out_f, out_b = pallas_bi_ln_lstm(
+                xpn_f, xpn_b, m2, wh_f, wh_b, gh_f, gh_b, gc_f, gc_b,
+                bc_f, bc_b, h_eff, cell.hidden, interpret=not on_tpu,
+            )
+        else:
+            if type(cell) is LSTMCell:
+                from asr_study_tpu.ops.pallas_bilstm import (
+                    pallas_bilstm as op,
+                )
+            else:
+                from asr_study_tpu.ops.pallas_bigru import (
+                    pallas_bigru as op,
+                )
+
+            xp_f = (
+                cell.input_proj(params["fw"], x).astype(jnp.float32)
+                + params["fw"]["b"].astype(jnp.float32)
+            )
+            xp_b = (
+                cell.input_proj(params["bw"], x).astype(jnp.float32)
+                + params["bw"]["b"].astype(jnp.float32)
+            )
+            xp_f, wh_f, h_eff = _pad_hidden(
+                xp_f, params["fw"]["wh"], cell.hidden, cell.num_gates
+            )
+            xp_b, wh_b, _ = _pad_hidden(
+                xp_b, params["bw"]["wh"], cell.hidden, cell.num_gates
+            )
+            out_f, out_b = op(
+                xp_f, xp_b, m2, wh_f, wh_b, h_eff, interpret=not on_tpu
+            )
         if h_eff != cell.hidden:
             out_f = out_f[..., : cell.hidden]
             out_b = out_b[..., : cell.hidden]

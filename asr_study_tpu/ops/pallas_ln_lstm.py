@@ -127,6 +127,72 @@ def _ln_fwd_kernel(xpn_ref, mask_ref, wh_ref, gh_ref, gc_ref, bc_ref,
     c_scr[...] = c
 
 
+def _ln_row_bwd(i, dh_next, dc_next, xpn_ref, mask_ref, hprev_ref,
+                cprev_ref, c_ref, dh_out_ref, wh_ref, wht_ref,
+                gh_ref, gc_ref, bc_ref, dpre_ref, dcn_ref,
+                hidden: int, h_real: int):
+    """Reverse-mode LN-cell math for ONE row ``i`` of the current block
+    (shared by the uni- and bidirectional backward kernels)."""
+    h_prev = hprev_ref[i]
+    c_prev = cprev_ref[i]
+    c_t = c_ref[i]
+    m = mask_ref[i]                               # [B, 1]
+    gh = gh_ref[0, :]
+    gc = gc_ref[0, :]
+
+    # ---- recompute forward intermediates -------------------------
+    hp = _mm(h_prev, wh_ref)
+    xpn_t = xpn_ref[i]
+    xhats = []
+    rstds = []
+    pre_parts = []
+    for sl in _gate_slices(hidden):
+        xhat, _, rstd = _ln_stats(hp[:, sl], h_real, hidden)
+        xhats.append(xhat)
+        rstds.append(rstd)
+        pre_parts.append(xpn_t[:, sl] + xhat * gh[sl])
+    ii = jax.nn.sigmoid(pre_parts[0])
+    f = jax.nn.sigmoid(pre_parts[1])
+    g = jnp.tanh(pre_parts[2])
+    o = jax.nn.sigmoid(pre_parts[3])
+    chat, _, rstd_c = _ln_stats(c_t, h_real, hidden)
+    cn = chat * gc + bc_ref[0, :]
+    tc = jnp.tanh(cn)
+
+    # ---- backward -------------------------------------------------
+    dh = dh_out_ref[i] + dh_next
+    do = dh * tc
+    dcn = dh * o * (1.0 - tc * tc)
+    dc = dc_next + _ln_bwd(dcn * gc, chat, rstd_c, h_real)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * ii
+    dpre = jnp.concatenate(
+        [
+            di * ii * (1.0 - ii),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )                                             # [B, 4H]
+    dpre = jnp.where(m > 0, dpre, 0.0)
+    dcn = jnp.where(m > 0, dcn, 0.0)
+
+    # recurrent path: LN backward per gate, then @ wh^T
+    dhp_parts = [
+        _ln_bwd(dpre[:, sl] * gh[sl], xhats[k2], rstds[k2], h_real)
+        for k2, sl in enumerate(_gate_slices(hidden))
+    ]
+    dhp = jnp.concatenate(dhp_parts, axis=-1)
+    dh_rec = _mm(dhp, wht_ref)
+    dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
+    dc_prev = jnp.where(m > 0, dc * f, dc)
+    dpre_ref[i] = dpre
+    dcn_ref[i] = dcn
+    return (dh_prev, dc_prev)
+
+
 def _ln_bwd_kernel(xpn_ref, mask_ref, hprev_ref, cprev_ref, c_ref,
                    dh_out_ref, wh_ref, wht_ref, gh_ref, gc_ref, bc_ref,
                    dpre_ref, dcn_ref, dh_scr, dc_scr,
@@ -139,66 +205,12 @@ def _ln_bwd_kernel(xpn_ref, mask_ref, hprev_ref, cprev_ref, c_ref,
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
     def body(k, carry):
-        i = chunk - 1 - k
         dh_next, dc_next = carry
-        h_prev = hprev_ref[i]
-        c_prev = cprev_ref[i]
-        c_t = c_ref[i]
-        m = mask_ref[i]                               # [B, 1]
-        gh = gh_ref[0, :]
-        gc = gc_ref[0, :]
-
-        # ---- recompute forward intermediates -------------------------
-        hp = _mm(h_prev, wh_ref)
-        xpn_t = xpn_ref[i]
-        xhats = []
-        rstds = []
-        pre_parts = []
-        for sl in _gate_slices(hidden):
-            xhat, _, rstd = _ln_stats(hp[:, sl], h_real, hidden)
-            xhats.append(xhat)
-            rstds.append(rstd)
-            pre_parts.append(xpn_t[:, sl] + xhat * gh[sl])
-        ii = jax.nn.sigmoid(pre_parts[0])
-        f = jax.nn.sigmoid(pre_parts[1])
-        g = jnp.tanh(pre_parts[2])
-        o = jax.nn.sigmoid(pre_parts[3])
-        chat, _, rstd_c = _ln_stats(c_t, h_real, hidden)
-        cn = chat * gc + bc_ref[0, :]
-        tc = jnp.tanh(cn)
-
-        # ---- backward -------------------------------------------------
-        dh = dh_out_ref[i] + dh_next
-        do = dh * tc
-        dcn = dh * o * (1.0 - tc * tc)
-        dc = dc_next + _ln_bwd(dcn * gc, chat, rstd_c, h_real)
-        di = dc * g
-        df = dc * c_prev
-        dg = dc * ii
-        dpre = jnp.concatenate(
-            [
-                di * ii * (1.0 - ii),
-                df * f * (1.0 - f),
-                dg * (1.0 - g * g),
-                do * o * (1.0 - o),
-            ],
-            axis=-1,
-        )                                             # [B, 4H]
-        dpre = jnp.where(m > 0, dpre, 0.0)
-        dcn = jnp.where(m > 0, dcn, 0.0)
-
-        # recurrent path: LN backward per gate, then @ wh^T
-        dhp_parts = [
-            _ln_bwd(dpre[:, sl] * gh[sl], xhats[k2], rstds[k2], h_real)
-            for k2, sl in enumerate(_gate_slices(hidden))
-        ]
-        dhp = jnp.concatenate(dhp_parts, axis=-1)
-        dh_rec = _mm(dhp, wht_ref)
-        dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
-        dc_prev = jnp.where(m > 0, dc * f, dc)
-        dpre_ref[i] = dpre
-        dcn_ref[i] = dcn
-        return (dh_prev, dc_prev)
+        return _ln_row_bwd(
+            chunk - 1 - k, dh_next, dc_next, xpn_ref, mask_ref, hprev_ref,
+            cprev_ref, c_ref, dh_out_ref, wh_ref, wht_ref,
+            gh_ref, gc_ref, bc_ref, dpre_ref, dcn_ref, hidden, h_real,
+        )
 
     dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_scr[...], dc_scr[...]))
     dh_scr[...] = dh
@@ -346,19 +358,11 @@ def _pallas_ln_lstm_fwd(xpn, mask, wh, gh, gc, bc, hidden, h_real,
     return h_seq[: xpn.shape[0]], res
 
 
-def _pallas_ln_lstm_bwd(hidden, h_real, interpret, res, dh_out):
-    xpn, mask, wh, gh, gc, bc, h_seq, c_seq = res
-    t_steps = xpn.shape[0]
-    dpre, dcn, h_prev_seq = _ln_bwd_call(
-        xpn, mask, h_seq, c_seq, dh_out, wh, gh, gc, bc,
-        hidden, h_real, interpret,
-    )
-    h_prev_t = h_prev_seq[:t_steps]
-    c_t = c_seq[:t_steps]
-
-    # ---- parameter grads: one batched XLA pass over the sequences -------
-    # (kernel streams only dpre/dcn; everything else is recomputable with
-    # big MXU-friendly contractions out here)
+def _ln_param_grads(dpre, dcn, h_prev_t, c_t, wh, gh, hidden, h_real):
+    """Parameter grads as one batched XLA pass over the sequences (the
+    kernel streams only dpre/dcn; everything else is recomputable with big
+    MXU-friendly contractions out here).  -> (dwh, dgh, dgc, dbc)."""
+    t_steps = dpre.shape[0]
     hp = jnp.einsum(
         "tbh,hg->tbg", h_prev_t, wh, precision=_PREC,
         preferred_element_type=jnp.float32,
@@ -378,6 +382,20 @@ def _pallas_ln_lstm_bwd(hidden, h_real, interpret, res, dh_out):
     xhat_c, _, _ = _ln_stats(c_t, h_real, hidden)
     dgc = jnp.sum(dcn * xhat_c, axis=(0, 1))
     dbc = jnp.sum(dcn, axis=(0, 1))
+    return dwh, dgh, dgc, dbc
+
+
+def _pallas_ln_lstm_bwd(hidden, h_real, interpret, res, dh_out):
+    xpn, mask, wh, gh, gc, bc, h_seq, c_seq = res
+    t_steps = xpn.shape[0]
+    dpre, dcn, h_prev_seq = _ln_bwd_call(
+        xpn, mask, h_seq, c_seq, dh_out, wh, gh, gc, bc,
+        hidden, h_real, interpret,
+    )
+    dwh, dgh, dgc, dbc = _ln_param_grads(
+        dpre, dcn, h_prev_seq[:t_steps], c_seq[:t_steps], wh, gh,
+        hidden, h_real,
+    )
     dmask = jnp.zeros_like(mask)
     return (
         dpre.astype(xpn.dtype), dmask, dwh,

@@ -33,6 +33,7 @@ def fit(
     log_every: int = 10,
     profile: bool = False,
     profile_steps: tuple = (10, 20),
+    tensorboard: bool = False,
 ) -> TrainState:
     """Run ``epochs`` epochs; returns the final state.
 
@@ -40,7 +41,7 @@ def fit(
     of steps [profile_steps) into ``<log_dir>/trace`` — the tracing hook the
     reference never had (SURVEY.md §5.1).
     """
-    writer = MetricWriter(log_dir, "train")
+    writer = MetricWriter(log_dir, "train", tensorboard=tensorboard)
     rng = jax.random.PRNGKey(seed)
     step = int(state.step)
     t_last = time.time()

@@ -1,8 +1,11 @@
-"""Scalar metric logging: stdout + CSV (SURVEY.md §5.5).
+"""Scalar metric logging: stdout + CSV + optional TensorBoard
+(SURVEY.md §5.5).
 
 The reference relied on the Keras progress bar/history; here every scalar
 goes to a CSV next to the checkpoints so runs are inspectable offline, with
-an optional trailing-window stdout summary.
+an optional trailing-window stdout summary.  ``tensorboard=True`` also
+writes event files (lazily via torch.utils.tensorboard, which this image
+ships; degrades to a one-line warning if unavailable).
 """
 
 from __future__ import annotations
@@ -15,16 +18,31 @@ from typing import Dict, Optional
 
 
 class MetricWriter:
-    def __init__(self, directory: Optional[str] = None, name: str = "train"):
+    def __init__(self, directory: Optional[str] = None, name: str = "train",
+                 tensorboard: bool = False):
         self._file = None
         self._writer = None
         self._fields = None
         self._t0 = time.time()
+        self._tb = None
         if directory:
             os.makedirs(directory, exist_ok=True)
             self._path = os.path.join(directory, f"{name}_metrics.csv")
         else:
             self._path = None
+        if tensorboard and directory:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(directory, "tb"),
+                    filename_suffix=f".{name}",
+                )
+            except Exception as e:  # keep training usable without TB deps
+                print(
+                    f"tensorboard writer unavailable ({e}); CSV only",
+                    file=sys.stderr,
+                )
 
     def write(self, step: int, scalars: Dict[str, float], echo: bool = False):
         row = {"step": step, "wall_s": round(time.time() - self._t0, 3)}
@@ -34,6 +52,9 @@ class MetricWriter:
                 self._reopen(list(row.keys()))
             self._writer.writerow(row)
             self._file.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), global_step=step)
         if echo:
             msg = " ".join(
                 f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
@@ -74,3 +95,5 @@ class MetricWriter:
     def close(self):
         if self._file:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()

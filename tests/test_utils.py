@@ -29,3 +29,25 @@ def test_hparams_parse_json():
 def test_hparams_roundtrip():
     hp = HParams(a=1, b="x")
     assert HParams.from_dict(hp.to_dict()).a == 1
+
+
+def test_metric_writer_csv_widening_and_tensorboard(tmp_path):
+    """Per-step rows first, epoch-summary keys later: the CSV header must
+    widen (not drop the new columns), and tensorboard=True must produce an
+    event file alongside."""
+    import csv
+    import glob
+
+    from asr_study_tpu.utils.metrics_writer import MetricWriter
+
+    w = MetricWriter(str(tmp_path), "train", tensorboard=True)
+    w.write(1, {"loss": 2.0})
+    w.write(2, {"loss": 1.5, "val_loss": 3.0, "val_ler": 0.9})
+    w.close()
+
+    with open(tmp_path / "train_metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert "val_loss" in rows[0]            # widened header
+    assert rows[1]["val_loss"] == "3.0"
+    events = glob.glob(str(tmp_path / "tb" / "events.*"))
+    assert events, "no tensorboard event file written"
