@@ -26,14 +26,38 @@ def build_argparser() -> argparse.ArgumentParser:
                    help='feature kwargs as JSON, e.g. \'{"d": true, "dd": true}\'')
     p.add_argument("--to_json", default=None,
                    help="also write a JSON manifest to this path")
+    p.add_argument("--device", action="store_true",
+                   help="extract features on the accelerator in length-"
+                        "bucketed batches (features/batch_extract.py) — "
+                        "orders of magnitude faster than the host oracle "
+                        "on real corpora; f32 chain, see parity note")
+    p.add_argument("--device_batch", type=int, default=32,
+                   help="utterances per device batch with --device")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu|tpu); default = env")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        from asr_study_tpu.utils.platform import select_platform
+
+        select_platform(args.platform)
     corpus = get_from_module("corpus", args.parser)(args.dataset_dir)
     feat_kw = json.loads(args.input_params) if args.input_params else {}
-    input_parser = get_from_module("feature", args.input_parser)(**feat_kw)
+    if args.device:
+        from asr_study_tpu.features.batch_extract import (
+            DeviceFeatureExtractor,
+        )
+
+        input_parser = DeviceFeatureExtractor(
+            kind=args.input_parser, batch=args.device_batch, **feat_kw
+        )
+    else:
+        input_parser = get_from_module(
+            "feature", args.input_parser
+        )(**feat_kw)
     label_parser = CharParser()
     if args.to_json:
         n = corpus.to_json(args.to_json)

@@ -126,7 +126,8 @@ class DatasetParser:
         return self.name
 
 
-def write_split(grp, utts, input_parser, label_parser) -> None:
+def write_split(grp, utts, input_parser, label_parser,
+                chunk: int = 256) -> None:
     vlen_f32 = h5py.special_dtype(vlen=np.dtype("float32"))
     vlen_i32 = h5py.special_dtype(vlen=np.dtype("int32"))
     str_dt = h5py.string_dtype(encoding="utf-8")
@@ -137,15 +138,33 @@ def write_split(grp, utts, input_parser, label_parser) -> None:
     d_texts = grp.create_dataset("texts", (n,), dtype=str_dt)
     d_durs = grp.create_dataset("durations", (n,), dtype=np.float32)
     num_feats = None
-    for i, utt in enumerate(utts):
-        feats = input_parser(utt["audio"])
-        num_feats = feats.shape[1]
-        text = label_parser._clean(utt["label"])
-        d_inputs[i] = feats.reshape(-1)
-        d_shapes[i] = feats.shape
-        d_labels[i] = label_parser.map(text)
-        d_texts[i] = text
-        d_durs[i] = utt.get("duration", 0.0)
+    # batched accelerator extraction (features/batch_extract.py) goes
+    # ``chunk`` utterances at a time, bounding host RAM on big corpora;
+    # host Feature parsers keep the one-at-a-time reference flow
+    batched = hasattr(input_parser, "extract_batch")
+    for c0 in range(0, n, chunk if batched else n or 1):
+        group = utts[c0: c0 + chunk] if batched else utts
+        if batched:
+            feats_list = input_parser.extract_batch(
+                [u["audio"] for u in group]
+            )
+        else:
+            feats_list = None
+        for j, utt in enumerate(group):
+            i = c0 + j if batched else j
+            feats = (
+                feats_list[j] if feats_list is not None
+                else input_parser(utt["audio"])
+            )
+            num_feats = feats.shape[1]
+            text = label_parser._clean(utt["label"])
+            d_inputs[i] = feats.reshape(-1)
+            d_shapes[i] = feats.shape
+            d_labels[i] = label_parser.map(text)
+            d_texts[i] = text
+            d_durs[i] = utt.get("duration", 0.0)
+        if not batched:
+            break
     grp.attrs["num_feats"] = num_feats or 0
     grp.attrs["feature"] = str(input_parser)
     grp.attrs["vocab"] = label_parser.vocab

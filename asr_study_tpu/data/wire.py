@@ -113,7 +113,11 @@ def pack_audio(
         flat[2 * i + 1] = n >> _LOW_BITS
         if codec == "pcm16":
             if w.dtype != np.int16:
-                w = (w.astype(np.float64) * 32767.0).astype(np.int16)
+                # saturate, don't wrap: float samples beyond +-1 must clip
+                # (int16 cast overflow is UB-grade distortion)
+                w = np.clip(
+                    w.astype(np.float64) * 32767.0, -32768, 32767
+                ).astype(np.int16)
             flat[pos: pos + n] = w
         else:  # mulaw
             if w.dtype == np.int16:

@@ -1,0 +1,161 @@
+"""Batched on-device feature extraction for dataset building.
+
+The reference's dataset build [ref: extras/make_dataset.py] extracts
+features one utterance at a time on the host CPU — the slowest stage of
+its pipeline on real corpora.  ``DeviceFeatureExtractor`` runs the same
+chain on the accelerator in length-bucketed batches: wavs are padded to a
+few static shapes (one compiled program per bucket), features come back
+trimmed to each utterance's true frame count, in the original order.
+
+Parity note: this is the f32 device chain (device.py/pallas_fbank.py),
+eps-level equal to the f64 NumPy oracle in the linear domain but with a
+documented worst case on near-silent mel channels in the log domain
+(tests/test_features_device.py); pass ``log_floor=1e-2`` for tight
+(<2e-3) parity, or keep the default host oracle for bit-level
+reference-compat datasets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+from asr_study_tpu.features.wav import read_wav
+
+
+class DeviceFeatureExtractor:
+    """Drop-in for a host ``Feature`` in dataset building, executing the
+    feature chain on the accelerator in batches.
+
+    Accepts the same constructor options as the host classes (kind +
+    DeviceFeaturizer kwargs).  ``__call__(audio)`` handles a single
+    utterance (API compat; still batched under the hood via
+    ``extract_batch``).
+    """
+
+    def __init__(self, kind: str = "mfcc", fs: int = 16000,
+                 batch: int = 32, align: int = 16384,
+                 use_pallas: bool = True, **kw):
+        self.kind = kind
+        self.fs = fs
+        self.batch = int(batch)
+        self.align = int(align)
+        self._kw = kw
+        self._featurizer = None
+        self._use_pallas = use_pallas
+        self._serve_cache = {}
+
+    def _build(self):
+        if self._featurizer is not None:
+            return self._featurizer
+        if self._use_pallas:
+            try:
+                from asr_study_tpu.features.pallas_fbank import (
+                    PallasFeaturizer,
+                )
+
+                self._featurizer = PallasFeaturizer(
+                    kind=self.kind, fs=self.fs, **self._kw
+                )
+                return self._featurizer
+            except Exception:
+                pass
+        from asr_study_tpu.features.device import DeviceFeaturizer
+
+        self._featurizer = DeviceFeaturizer(
+            kind=self.kind, fs=self.fs, **self._kw
+        )
+        return self._featurizer
+
+    @property
+    def num_feats(self) -> int:
+        return self._build().num_feats
+
+    def _load(self, audio) -> np.ndarray:
+        if isinstance(audio, (str, bytes)):
+            return read_wav(audio, sr=self.fs)[0]
+        return np.asarray(audio, np.float32)
+
+    def _serve(self, n_rows: int, n_pad: int):
+        """Jitted wire->features program for one (rows, padded-len) shape,
+        cached per shape (a fresh closure per call would retrace)."""
+        featurizer = self._build()
+        key = (n_rows, n_pad, id(featurizer))
+        if key in self._serve_cache:
+            return self._serve_cache[key]
+        import jax
+
+        from asr_study_tpu.data import wire
+
+        @jax.jit
+        def serve(flat):
+            wavs, lens = wire.unpack_audio(flat, n_rows, n_pad)
+            return featurizer._transform(wavs, lens)
+
+        self._serve_cache[key] = serve
+        return serve
+
+    def extract_batch(self, audios: Sequence) -> List[np.ndarray]:
+        """-> per-utterance [T_i, F] float32 arrays, original order.
+
+        Audio crosses host->device in the ragged int16 wire format
+        (data/wire.py): no padding bytes, 4x fewer than padded f32 — on
+        remote-attached accelerators the wire, not the compute, bounds
+        dataset-build throughput.  PCM16 quantization is a no-op for
+        audio that lived on disk as 16-bit wavs (all supported corpora).
+        """
+        from asr_study_tpu.data import wire
+
+        wavs = [self._load(a) for a in audios]
+        # length buckets -> few static shapes (compile cache friendly)
+        order = sorted(range(len(wavs)), key=lambda i: len(wavs[i]))
+        out: List[np.ndarray] = [None] * len(wavs)  # type: ignore
+        fallback_tried = False
+        # dispatch every bucket first (async), then fetch: transfers of
+        # batch k+1 overlap compute of batch k
+        pending = []
+        for start in range(0, len(order), self.batch):
+            idxs = order[start: start + self.batch]
+            group = [wavs[i] for i in idxs]
+            n_pad = -(-max(len(w) for w in group) // self.align)
+            n_pad *= self.align
+            cap = wire.wire_cap(
+                self.batch, sum(len(w) for w in group), self.align
+            )
+            flat = wire.pack_audio(group, cap, batch=self.batch)
+            try:
+                feats, feat_lens = self._serve(self.batch, n_pad)(flat)
+            except Exception:
+                # Mosaic lowering can reject exotic configs: fall back to
+                # the XLA device path once, permanently
+                if fallback_tried or not self._use_pallas:
+                    raise
+                fallback_tried = True
+                self._use_pallas = False
+                self._featurizer = None
+                feats, feat_lens = self._serve(self.batch, n_pad)(flat)
+            pending.append((idxs, feats, feat_lens))
+        # concurrent fetches: on a remote backend serial np.asarray pays a
+        # full round trip per array (measured 5.0 s -> 0.93 s for 4
+        # batches when pooled)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(8) as pool:
+            flat_list = [a for (_, f, l) in pending for a in (f, l)]
+            got = list(pool.map(np.asarray, flat_list))
+        for k, (idxs, _, _) in enumerate(pending):
+            feats, feat_lens = got[2 * k], got[2 * k + 1]
+            for r, i in enumerate(idxs):
+                out[i] = np.ascontiguousarray(
+                    feats[r, : int(feat_lens[r])], np.float32
+                )
+        return out
+
+    def __call__(self, audio) -> np.ndarray:
+        return self.extract_batch([audio])[0]
+
+    def __str__(self) -> str:
+        # datasets stamp str(parser) into attrs["feature"]; keep the kind
+        # name so eval/predict pick the matching host parser by default
+        return self.kind

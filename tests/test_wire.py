@@ -20,7 +20,10 @@ def _host_padded(wavs, batch, n_pad):
     out = np.zeros((batch, n_pad), np.float32)
     lens = np.zeros((batch,), np.int32)
     for i, w in enumerate(wavs):
-        q = (w.astype(np.float64) * 32767.0).astype(np.int16)
+        # saturating PCM16 quantization (the wire's definition)
+        q = np.clip(
+            w.astype(np.float64) * 32767.0, -32768, 32767
+        ).astype(np.int16)
         out[i, : len(w)] = q.astype(np.float32) / 32768.0
         lens[i] = len(w)
     return out, lens
@@ -156,3 +159,15 @@ class TestMulawCodec:
         cap16 = wire.wire_cap(len(wavs), total, align=1)
         cap8 = wire.wire_cap(len(wavs), total, align=1, codec="mulaw")
         assert cap8 <= cap16 // 2 + 2 * len(wavs)
+
+
+def test_pcm16_saturates_not_wraps():
+    """Float samples beyond +-1 must clip to full scale, not wrap around
+    (int16 cast overflow)."""
+    w = np.array([1.5, -1.5, 0.5], np.float32)
+    cap = wire.wire_cap(1, 3)
+    flat = wire.pack_audio([w], cap)
+    got, _ = jax.jit(wire.unpack_audio, static_argnums=(1, 2))(flat, 1, 8)
+    got = np.asarray(got)[0]
+    assert got[0] > 0.99 and got[1] < -0.99
+    assert abs(got[2] - 0.5) < 1e-4
