@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from asr_study_tpu.models import nn
 from asr_study_tpu.models.cells import (
-    GRUCell, LayerNormLSTMCell, LSTMCell, make_cell,
+    GRUCell, LayerNormLSTMCell, LSTMCell, MILSTMCell, ZoneoutLSTMCell,
+    make_cell,
 )
 
 # Recurrence backend: 'auto' (default) uses the fused Pallas kernels
@@ -33,11 +34,50 @@ RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
 
 
 def _pallas_eligible(cell, key, train) -> bool:
-    # exact types: MI/zoneout subclasses still fall back to lax.scan
+    # exact types: every signature cell has a fused kernel (zoneout's
+    # stochastic decisions are drawn outside and streamed in, so it
+    # qualifies at train time too)
     return (
-        type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell)
+        type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell, MILSTMCell,
+                       ZoneoutLSTMCell)
         and cell.dtype == jnp.float32
     )
+
+
+def _zoneout_mix(cell, key, train, t_steps, batch, h_eff,
+                 flip_keys: bool = False):
+    """[T, B, H'] 'take-new-state' mix weights for the zoneout kernel,
+    drawn with the EXACT key-split schedule of the scan path (split per
+    frame, then per frame into (kh, kc), then bernoulli(1-rate)) so both
+    backends produce bit-identical regularization under one PRNG key."""
+    hidden = cell.hidden
+
+    def const(rate):
+        return jnp.full((t_steps, batch, h_eff),
+                        1.0 if rate <= 0.0 else 1.0 - rate, jnp.float32)
+
+    stochastic = train and key is not None
+    if stochastic:
+        keys = jax.random.split(key, t_steps)
+        if flip_keys:
+            # reversed-scan schedule realigned to forward time order
+            # (flip the [T, 2] key array, not the [T, B, H] masks)
+            keys = keys[::-1]
+        khc = jax.vmap(jax.random.split)(keys)          # [T, 2, key]
+
+    def mix(rate, which):
+        if not (stochastic and rate > 0.0):
+            return const(rate)
+        m = jax.vmap(
+            lambda k: jax.random.bernoulli(
+                k, 1.0 - rate, (batch, hidden)
+            )
+        )(khc[:, which]).astype(jnp.float32)
+        if h_eff != hidden:
+            m = jnp.pad(m, ((0, 0), (0, 0), (0, h_eff - hidden)))
+        return m
+
+    return mix(cell.zoneout_h, 0), mix(cell.zoneout_c, 1)
 
 
 def _pad_gate_vec(v, hidden: int, hp: int, num_gates: int):
@@ -126,6 +166,48 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
                     xpn, m2, wh, gh, gc, bc, h_eff, cell.hidden,
                     interpret=not on_tpu,
                 )
+            elif type(cell) is MILSTMCell:
+                from asr_study_tpu.ops.pallas_mi_lstm import pallas_mi_lstm
+
+                # raw input projection: the MI Hadamard term needs xp
+                # unbiased; alpha/beta/b ride along as resident vectors
+                xp_r, wh, h_eff = _pad_hidden(
+                    xp.astype(jnp.float32), params["wh"], cell.hidden,
+                    cell.num_gates,
+                )
+                vecs = [
+                    _pad_gate_vec(
+                        params[k].astype(jnp.float32), cell.hidden, h_eff,
+                        cell.num_gates,
+                    )
+                    for k in ("alpha", "beta1", "beta2", "b")
+                ]
+                if reverse:
+                    xp_r, m2 = xp_r[::-1], m2[::-1]
+                outs = pallas_mi_lstm(
+                    xp_r, m2, wh, *vecs, h_eff, interpret=not on_tpu
+                )
+            elif type(cell) is ZoneoutLSTMCell:
+                from asr_study_tpu.ops.pallas_zoneout_lstm import (
+                    pallas_zoneout_lstm,
+                )
+
+                xp_b = (
+                    xp.astype(jnp.float32) + params["b"].astype(jnp.float32)
+                )
+                xp_b, wh, h_eff = _pad_hidden(
+                    xp_b, params["wh"], cell.hidden, cell.num_gates
+                )
+                if reverse:
+                    xp_b, m2 = xp_b[::-1], m2[::-1]
+                # mix weights are drawn in the kernel's scan order (i.e.
+                # after the reversal), matching the scan path's key walk
+                zh, zc = _zoneout_mix(
+                    cell, key, train, t_steps, batch, h_eff
+                )
+                outs = pallas_zoneout_lstm(
+                    xp_b, m2, zh, zc, wh, h_eff, interpret=not on_tpu
+                )
             else:
                 if type(cell) is LSTMCell:
                     from asr_study_tpu.ops.pallas_lstm import (
@@ -198,7 +280,7 @@ class RNNLayer:
         kf = kb = None
         if key is not None:
             kf, kb = jax.random.split(key)
-        fused = self._apply_fused_bidi(params, x, mask, train)
+        fused = self._apply_fused_bidi(params, x, mask, kf, kb, train)
         if fused is not None:
             return fused
         xp_f = self.cell.input_proj(params["fw"], x)
@@ -211,7 +293,7 @@ class RNNLayer:
                           reverse=True, unroll=self.unroll)
         return jnp.concatenate([out_f, out_b], axis=-1)
 
-    def _apply_fused_bidi(self, params, x, mask, train):
+    def _apply_fused_bidi(self, params, x, mask, kf, kb, train):
         """Both directions in ONE Pallas kernel (ops/pallas_bilstm.py /
         pallas_bigru.py) — halves launches/grid steps and skips the [::-1]
         HBM copies of the reverse-scan formulation.  Returns None when
@@ -222,7 +304,8 @@ class RNNLayer:
             self.bidirectional
             and RNN_BACKEND != "scan"
             and os.environ.get("ASR_RNN_FUSED", "1") != "0"
-            and type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell)
+            and type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell,
+                               MILSTMCell, ZoneoutLSTMCell)
             and cell.dtype == jnp.float32
         ):
             return None
@@ -264,6 +347,57 @@ class RNNLayer:
             out_f, out_b = pallas_bi_ln_lstm(
                 xpn_f, xpn_b, m2, wh_f, wh_b, gh_f, gh_b, gc_f, gc_b,
                 bc_f, bc_b, h_eff, cell.hidden, interpret=not on_tpu,
+            )
+        elif type(cell) is MILSTMCell:
+            from asr_study_tpu.ops.pallas_bi_mi_lstm import (
+                pallas_bi_mi_lstm,
+            )
+
+            def prep(p):
+                xp_r, wh, h_eff = _pad_hidden(
+                    cell.input_proj(p, x).astype(jnp.float32), p["wh"],
+                    cell.hidden, cell.num_gates,
+                )
+                vecs = [
+                    _pad_gate_vec(
+                        p[k].astype(jnp.float32), cell.hidden, h_eff,
+                        cell.num_gates,
+                    )
+                    for k in ("alpha", "beta1", "beta2", "b")
+                ]
+                return xp_r, wh, vecs, h_eff
+
+            xp_f, wh_f, vecs_f, h_eff = prep(params["fw"])
+            xp_b, wh_b, vecs_b, _ = prep(params["bw"])
+            out_f, out_b = pallas_bi_mi_lstm(
+                xp_f, xp_b, m2, wh_f, wh_b, *vecs_f, *vecs_b, h_eff,
+                interpret=not on_tpu,
+            )
+        elif type(cell) is ZoneoutLSTMCell:
+            from asr_study_tpu.ops.pallas_bi_zoneout_lstm import (
+                pallas_bi_zoneout_lstm,
+            )
+
+            def prep(p):
+                xp_b_ = (
+                    cell.input_proj(p, x).astype(jnp.float32)
+                    + p["b"].astype(jnp.float32)
+                )
+                return _pad_hidden(
+                    xp_b_, p["wh"], cell.hidden, cell.num_gates
+                )
+
+            xp_f, wh_f, h_eff = prep(params["fw"])
+            xp_b, wh_b, _ = prep(params["bw"])
+            t_steps, batch = x.shape[0], x.shape[1]
+            zh_f, zc_f = _zoneout_mix(cell, kf, train, t_steps, batch,
+                                      h_eff)
+            # backward lane: reversed-scan key schedule, forward order
+            zh_b, zc_b = _zoneout_mix(cell, kb, train, t_steps, batch,
+                                      h_eff, flip_keys=True)
+            out_f, out_b = pallas_bi_zoneout_lstm(
+                xp_f, xp_b, m2, zh_f, zc_f, zh_b, zc_b, wh_f, wh_b,
+                h_eff, interpret=not on_tpu,
             )
         else:
             if type(cell) is LSTMCell:
