@@ -319,3 +319,37 @@ def test_mi_fused_bidi_grads(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=1e-4, atol=1e-5
         )
+
+
+def test_mi_zoneout_bf16_weights(monkeypatch):
+    """Mixed precision (bf16 wh, f32 everything else — the Trainer's
+    compute_dtype path) must run through both new kernel families with
+    finite grads and bf16 weight cotangents, matching scan numerics
+    loosely."""
+    from asr_study_tpu.models import rnn as rnn_mod
+
+    for kind in ("mi_lstm", "zoneout_lstm"):
+        layer = rnn_mod.RNNLayer(kind, 8, bidirectional=True)
+        params = layer.init(jax.random.PRNGKey(0), 6)
+        for d in ("fw", "bw"):
+            params[d]["wh"] = params[d]["wh"].astype(jnp.bfloat16)
+        t, b = 9, 3
+        x = jax.random.normal(jax.random.PRNGKey(1), (t, b, 6))
+        lengths = jnp.array([9, 6, 4])
+        mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(
+            jnp.float32
+        )[..., None]
+
+        def loss(p):
+            return jnp.sum(layer.apply(p, x, mask) ** 2)
+
+        monkeypatch.setattr(rnn_mod, "RNN_BACKEND", "pallas")
+        for fused in ("1", "0"):
+            monkeypatch.setenv("ASR_RNN_FUSED", fused)
+            v, g = jax.value_and_grad(loss)(params)
+            assert np.isfinite(float(v)), (kind, fused)
+            assert g["fw"]["wh"].dtype == jnp.bfloat16
+            for leaf in jax.tree_util.tree_leaves(g):
+                assert np.all(
+                    np.isfinite(np.asarray(leaf, np.float32))
+                ), (kind, fused)
