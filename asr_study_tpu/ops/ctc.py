@@ -48,12 +48,25 @@ def ctc_loss(
     labels: jax.Array,          # [B, L] int class ids (no blanks)
     label_lengths: jax.Array,   # [B] int, true label counts
     blank_id: Optional[int] = None,
+    unroll: Optional[int] = None,
+    backend: Optional[str] = None,
 ) -> jax.Array:
     """Per-sequence CTC negative log-likelihood, shape [B].
 
     The alpha recursion over the 2L+1 lattice [ref: core/ctc_utils.py via
     TF CTCLoss]: time-major scan; each step is a vectorized [B, S] update
     (shift + masked skip transition + per-state emission log-prob).
+
+    ``backend``: 'scan' | 'pallas' | 'auto' (default, from
+    ASR_CTC_BACKEND).  'auto' takes the fused Pallas kernels
+    (ops/pallas_ctc.py — alpha forward + analytic beta backward) on TPU:
+    the scan path's 2*T while-loop iterations over tiny [B, 2L+1] arrays
+    are pure dispatch overhead there (~30 ms of a 42 ms BLSTM train step
+    at B=32 T=512 L=48).  Both backends share this function's lattice
+    setup, so they agree to float tolerance (tests/test_pallas_ctc.py).
+
+    ``unroll`` fuses that many scan steps per XLA while-loop iteration
+    (scan backend only; default from ASR_CTC_UNROLL, 8).
     """
     batch, t_max, vocab = logits.shape
     if blank_id is None:
@@ -69,15 +82,51 @@ def ctc_loss(
     skip_mask = jnp.where(can_skip, 0.0, LOG_EPS).astype(logits.dtype)
 
     log_probs = jax.nn.log_softmax(logits, axis=-1)        # [B, T, V]
-    # Per-frame emission log-prob of every lattice state, gathered once
-    # outside the scan: [B, T, S] -> time-major [T, B, S].
-    lp_ext = jnp.take_along_axis(
-        log_probs, ext[:, None, :].repeat(t_max, axis=1), axis=2
+    # Per-frame emission log-prob of every lattice state, as a one-hot
+    # MXU contraction rather than take_along_axis: a per-element gather
+    # along the minor (lane) axis costs ~18 ms on TPU at B=32 T=512 L=48
+    # (and its scatter transpose again in backward); the [B,S,V] one-hot
+    # matmul is microseconds, and autodiff turns it into the matching
+    # scatter matmul.  HIGHEST precision keeps the selection exact (a
+    # default-precision pass would round log-probs through bf16).
+    sel = jax.nn.one_hot(ext, vocab, dtype=log_probs.dtype)  # [B, S, V]
+    lp_ext = jnp.einsum(
+        "bsv,btv->tbs", sel, log_probs,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    lp_ext = jnp.transpose(lp_ext, (1, 0, 2))
     frame_valid = (
         jnp.arange(t_max)[:, None] < logit_lengths[None, :]
     )                                                       # [T, B]
+
+    import os
+
+    backend = backend or os.environ.get("ASR_CTC_BACKEND", "auto")
+    if backend != "scan":
+        on_tpu = jax.default_backend() == "tpu"
+        if backend == "pallas" or on_tpu:
+            from asr_study_tpu.ops import pallas_ctc
+
+            s_pad = -(-s_len // 128) * 128
+            lp_p = jnp.pad(
+                lp_ext.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, s_pad - s_len)),
+                constant_values=LOG_EPS,
+            )
+            skip_p = jnp.pad(
+                skip_mask.astype(jnp.float32),
+                ((0, 0), (0, s_pad - s_len)),
+                constant_values=LOG_EPS,
+            )
+            nll = pallas_ctc.ctc_nll(
+                lp_p,
+                frame_valid.astype(jnp.float32)[..., None],
+                skip_p,
+                (2 * label_lengths).astype(jnp.int32),
+                label_lengths.astype(jnp.int32),
+                s_len,
+                interpret=not on_tpu,
+            )
+            return jnp.minimum(nll, -LOG_EPS).astype(logits.dtype)
 
     # alpha_0: log 1 at the virtual pre-start state s=0, log 0 elsewhere;
     # one recurrence step then reproduces the textbook t=1 init.
@@ -93,7 +142,13 @@ def ctc_loss(
         alpha = jnp.where(valid_t[:, None], nxt, alpha)
         return alpha, None
 
-    alpha, _ = jax.lax.scan(step, alpha0, (lp_ext, frame_valid))
+    if unroll is None:
+        import os
+
+        unroll = int(os.environ.get("ASR_CTC_UNROLL", "8"))
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (lp_ext, frame_valid), unroll=max(unroll, 1)
+    )
 
     # P(labels | x) = alpha[2L] + alpha[2L-1] (final blank / final label).
     end = (2 * label_lengths).astype(jnp.int32)             # [B]
