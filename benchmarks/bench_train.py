@@ -80,12 +80,31 @@ def main() -> int:
     wall = time.perf_counter() - t0
     steps_per_s = args.steps / wall
     audio_s = args.batch * args.time * HOP_S
+
+    # FLOPs model (matmul terms only; elementwise/CTC are <2% here).
+    # Per bidirectional layer per direction: input proj T*B*Fin*4H*2 +
+    # recurrence T*B*H*4H*2; training ~= 3x forward (grad wrt activations
+    # and wrt weights each cost roughly one forward of matmul FLOPs).
+    b, t, h, nl = args.batch, args.time, args.hidden, args.layers
+    gates = 3 if "gru" in args.model else 4
+    fin = [39] + [2 * h] * (nl - 1)
+    fwd_flops = sum(
+        2 * (t * b * f * gates * h + t * b * h * gates * h) * 2
+        for f in fin
+    ) + 2 * t * b * (2 * h) * 28
+    train_flops = 3 * fwd_flops
+    # v5e MXU peak (bf16): ~197 TFLOP/s; f32 runs as 1-pass bf16 here
+    peak = 197e12
+    mfu = train_flops * steps_per_s / peak * 100.0
+
     print(json.dumps({
         "metric": "train_step_throughput",
         "steps_per_s": round(steps_per_s, 3),
         "audio_s_per_s": round(steps_per_s * audio_s, 1),
         "precision": "bf16" if args.bf16 else "f32",
         "loss": float(m["loss"]),
+        "flops_per_step": train_flops,
+        "mfu_pct": round(mfu, 2),
         "batch": args.batch, "time": args.time,
         "model": f"{args.model}-{args.layers}x{args.hidden}",
     }))
