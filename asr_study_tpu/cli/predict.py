@@ -86,17 +86,30 @@ def _predict_on_device(args, model, state, feat_kw):
             )
         return serve
 
+    # Probe the Pallas featurizer with ONE compile-forcing call; only a
+    # failure of THAT falls back to the XLA featurizer (Mosaic rejecting
+    # an exotic config).  Errors in the remaining batches re-raise as
+    # themselves — a bare fallback here used to silently re-dispatch
+    # everything through a recompile on any transient dispatch error.
     try:
         from asr_study_tpu.features.pallas_fbank import PallasFeaturizer
 
         serve = make_serve(build(PallasFeaturizer))
-        outs = [serve(state.params, b) for b in bufs]
-        np.asarray(outs[0][0])  # force compile; fall back if Mosaic rejects
-    except Exception:
+        probe = serve(state.params, bufs[0])
+        np.asarray(probe[0])    # force compile + execute
+    except Exception as e:
+        import sys
+
+        print(
+            f"pallas featurizer unavailable ({type(e).__name__}); "
+            "falling back to the XLA feature path",
+            file=sys.stderr,
+        )
         from asr_study_tpu.features.device import DeviceFeaturizer
 
         serve = make_serve(build(DeviceFeaturizer))
-        outs = [serve(state.params, b) for b in bufs]
+        probe = serve(state.params, bufs[0])
+    outs = [probe] + [serve(state.params, b) for b in bufs[1:]]
 
     dec = np.concatenate([np.asarray(d) for d, _ in outs])[: len(wavs)]
     lens = np.concatenate([np.asarray(l) for _, l in outs])[: len(wavs)]

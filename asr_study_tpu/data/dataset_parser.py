@@ -233,12 +233,14 @@ class H5FeatureRows:
     concurrency-safe on one handle).
     """
 
-    def __init__(self, h5_path: str, split: str):
+    def __init__(self, h5_path: str, split: str, shapes=None):
         self.h5_path = h5_path
         self.split = split
-        with h5py.File(h5_path, "r") as f:
-            grp = _split_group(f, h5_path, split)
-            self.shapes = grp["shapes"][:]
+        if shapes is None:
+            with h5py.File(h5_path, "r") as f:
+                grp = _split_group(f, h5_path, split)
+                shapes = grp["shapes"][:]
+        self.shapes = shapes
         self._lock = threading.Lock()
         self._file = None
         self._dset = None
@@ -300,3 +302,11 @@ class H5FeatureRows:
             if self._file is not None:
                 self._file.close()
                 self._file = self._dset = None
+
+    def __del__(self):
+        # iterators never close their row source explicitly; release the
+        # h5py handle when the last reference drops
+        try:
+            self.close()
+        except Exception:
+            pass

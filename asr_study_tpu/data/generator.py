@@ -91,9 +91,14 @@ class DatasetGenerator:
         )
 
         if lazy is None or lazy:
-            rows = H5FeatureRows(h5_path, split)
-            if lazy or rows.nbytes > self.max_in_memory_bytes:
-                _shapes, labels, texts, _durs = read_h5_meta(h5_path, split)
+            # one metadata read decides AND feeds the lazy path (the
+            # previous flow re-read the shapes table up to three times)
+            shapes, labels, texts, _durs = read_h5_meta(h5_path, split)
+            nbytes = int(
+                np.sum(shapes[:, 0].astype(np.int64) * shapes[:, 1]) * 4
+            )
+            if lazy or nbytes > self.max_in_memory_bytes:
+                rows = H5FeatureRows(h5_path, split, shapes=shapes)
                 return self.flow(rows, labels, texts)
         inputs, labels, texts, _durs = read_h5(h5_path, split)
         return self.flow(inputs, labels, texts)

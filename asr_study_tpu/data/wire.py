@@ -84,8 +84,10 @@ def pack_audio(
 ) -> np.ndarray:
     """Pack int16/float waveforms into one flat int16 wire buffer.
 
-    codec='pcm16': float inputs are quantized to PCM16 (x * 32767); int16
-    pass through.  codec='mulaw': samples are companded to 8-bit mu-law and
+    codec='pcm16': float inputs are quantized with round(x * 32768)
+    saturated to [-32768, 32767] — the EXACT inverse of the read_wav /
+    unpack_audio normalization k -> k/32768, so audio that lived on disk
+    as 16-bit wavs crosses the wire bit-exactly; int16 passes through.  codec='mulaw': samples are companded to 8-bit mu-law and
     packed two per int16 word (low byte first; each utterance starts on a
     word boundary) — HALF the wire bytes, for links where bandwidth is the
     serving bottleneck.  ``batch`` pads the header to a fixed batch size
@@ -113,10 +115,14 @@ def pack_audio(
         flat[2 * i + 1] = n >> _LOW_BITS
         if codec == "pcm16":
             if w.dtype != np.int16:
-                # saturate, don't wrap: float samples beyond +-1 must clip
-                # (int16 cast overflow is UB-grade distortion)
+                # round(x * 32768): the exact inverse of k/32768 — the
+                # truncating x*32767 variant shifted every disk sample
+                # 1 LSB toward zero.  Saturate, don't wrap: samples at or
+                # beyond +1.0 must clip (int16 overflow is UB-grade
+                # distortion).
                 w = np.clip(
-                    w.astype(np.float64) * 32767.0, -32768, 32767
+                    np.round(w.astype(np.float64) * 32768.0),
+                    -32768, 32767,
                 ).astype(np.int16)
             flat[pos: pos + n] = w
         else:  # mulaw

@@ -22,11 +22,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from asr_study_tpu.ops import pallas_lstm as _base
 from asr_study_tpu.ops.pallas_bilstm import _compiler_params, _fused_budget
-from asr_study_tpu.ops.pallas_lstm import _PREC, _budget_chunk, _pad_time
+from asr_study_tpu.ops.pallas_lstm import _budget_chunk, _pad_time
 from asr_study_tpu.ops.pallas_mi_lstm import (
     _mi_cell_math,
     _mi_row_bwd,
     _row,
+    dir_grads,
 )
 
 
@@ -242,27 +243,6 @@ def _bibwd_call(xp_f, xp_b, mask, h_f, c_f, h_b, c_b, dh_f, dh_b,
     )
 
 
-def _dir_grads(dpre, xp, h_prev, wh, alpha, beta1, beta2):
-    """Per-direction input/parameter grads as big contractions of dpre."""
-    hp_seq = jnp.einsum(
-        "tbh,hg->tbg", h_prev, wh, precision=_PREC,
-        preferred_element_type=jnp.float32,
-    )
-    al = alpha.astype(jnp.float32)
-    dxp = dpre * (al * hp_seq + beta1.astype(jnp.float32))
-    dhp = dpre * (al * xp.astype(jnp.float32) + beta2.astype(jnp.float32))
-    dwh = jnp.einsum(
-        "tbh,tbg->hg", h_prev, dhp, precision=_PREC,
-        preferred_element_type=jnp.float32,
-    ).astype(wh.dtype)
-    xph = dpre * xp.astype(jnp.float32)
-    dalpha = jnp.sum(xph * hp_seq, axis=(0, 1)).astype(alpha.dtype)
-    dbeta1 = jnp.sum(xph, axis=(0, 1)).astype(beta1.dtype)
-    dbeta2 = jnp.sum(dpre * hp_seq, axis=(0, 1)).astype(beta2.dtype)
-    db = jnp.sum(dpre, axis=(0, 1)).astype(jnp.float32)
-    return dxp, dwh, dalpha, dbeta1, dbeta2, db
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
 def pallas_bi_mi_lstm(xp_f, xp_b, mask, wh_f, wh_b,
                       alpha_f, beta1_f, beta2_f, b_f,
@@ -307,10 +287,10 @@ def _bi_mi_bwd(hidden, interpret, res, cot):
         xp_f, xp_b, mask, h_f, c_f, h_b, c_b, dh_f, dh_b,
         wh_f, wh_b, vecs_f, vecs_b, hidden, interpret,
     )
-    dxp_f, dwh_f, dal_f, db1_f, db2_f, db_f = _dir_grads(
+    dxp_f, dwh_f, dal_f, db1_f, db2_f, db_f = dir_grads(
         dpre_f, xp_f, h_prev_f, wh_f, *vecs_f[:3]
     )
-    dxp_b, dwh_b, dal_b, db1_b, db2_b, db_b = _dir_grads(
+    dxp_b, dwh_b, dal_b, db1_b, db2_b, db_b = dir_grads(
         dpre_b, xp_b, h_prev_b, wh_b, *vecs_b[:3]
     )
     return (

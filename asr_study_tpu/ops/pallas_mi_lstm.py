@@ -273,14 +273,11 @@ def _mi_fwd(xp, mask, wh, alpha, beta1, beta2, b, hidden, interpret):
                                   h_seq, c_seq)
 
 
-def _mi_bwd(hidden, interpret, res, dh_out):
-    xp, mask, wh, alpha, beta1, beta2, b, h_seq, c_seq = res
-    dpre, h_prev_seq = _bwd_call(
-        xp, mask, h_seq, c_seq, dh_out, wh, alpha, beta1, beta2, b,
-        hidden, interpret,
-    )
-    # every remaining grad is one big MXU/VPU contraction over the stored
-    # sequences (dpre is zero on masked frames, so sums are mask-correct)
+def dir_grads(dpre, xp, h_prev_seq, wh, alpha, beta1, beta2):
+    """Input/parameter grads from the kernel-emitted dpre, as big MXU/VPU
+    contractions over the stored sequences (dpre is zero on masked frames,
+    so the sums are mask-correct).  Shared by the uni- and bidirectional
+    VJPs -> (dxp, dwh, dalpha, dbeta1, dbeta2, db [f32])."""
     hp_seq = jnp.einsum(
         "tbh,hg->tbg", h_prev_seq, wh, precision=_PREC,
         preferred_element_type=jnp.float32,
@@ -296,9 +293,21 @@ def _mi_bwd(hidden, interpret, res, dh_out):
     dalpha = jnp.sum(xph * hp_seq, axis=(0, 1)).astype(alpha.dtype)
     dbeta1 = jnp.sum(xph, axis=(0, 1)).astype(beta1.dtype)
     dbeta2 = jnp.sum(dpre * hp_seq, axis=(0, 1)).astype(beta2.dtype)
-    db = jnp.sum(dpre, axis=(0, 1)).astype(b.dtype)
+    db = jnp.sum(dpre, axis=(0, 1))
+    return dxp, dwh, dalpha, dbeta1, dbeta2, db
+
+
+def _mi_bwd(hidden, interpret, res, dh_out):
+    xp, mask, wh, alpha, beta1, beta2, b, h_seq, c_seq = res
+    dpre, h_prev_seq = _bwd_call(
+        xp, mask, h_seq, c_seq, dh_out, wh, alpha, beta1, beta2, b,
+        hidden, interpret,
+    )
+    dxp, dwh, dalpha, dbeta1, dbeta2, db = dir_grads(
+        dpre, xp, h_prev_seq, wh, alpha, beta1, beta2
+    )
     return (dxp.astype(xp.dtype), jnp.zeros_like(mask), dwh,
-            dalpha, dbeta1, dbeta2, db)
+            dalpha, dbeta1, dbeta2, db.astype(b.dtype))
 
 
 pallas_mi_lstm.defvjp(_mi_fwd, _mi_bwd)

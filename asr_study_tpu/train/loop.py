@@ -54,8 +54,8 @@ def fit(
         nonlocal t_last
         p_step, p_metrics, p_w, p_epoch = pending
         loss = float(p_metrics["loss"])
-        ep[0] += loss * p_w
-        ep[1] += p_w
+        ep[0] += loss * float(p_w)
+        ep[1] += float(p_w)
         if p_step % log_every == 0:
             now = time.time()
             writer.write(
@@ -91,8 +91,12 @@ def fit(
                 jax.profiler.stop_trace()
             if pending is not None:
                 consume(pending, ep_acc)
-            # epoch loss weighted by real (non-padding) rows, not batch.size
-            pending = (step, metrics, float(batch.weights.sum()), epoch)
+            # epoch loss weighted by real (non-padding) rows, not
+            # batch.size.  The sum stays a DEVICE scalar until consume()
+            # one step later — float()ing it here would block on the
+            # just-dispatched train step (in-order device queue) and
+            # re-introduce the per-step sync this deferral removes.
+            pending = (step, metrics, batch.weights.sum(), epoch)
         if pending is not None:
             consume(pending, ep_acc)
 

@@ -24,8 +24,8 @@ def _wavs(seed=0, n=7):
 
 def _pcm16(w):
     """The wire's PCM16 round trip (bit-exact for disk wavs)."""
-    return ((w.astype(np.float64) * 32767.0).astype(np.int16)
-            .astype(np.float32) / 32768.0)
+    q = np.clip(np.round(w.astype(np.float64) * 32768.0), -32768, 32767)
+    return q.astype(np.int16).astype(np.float32) / 32768.0
 
 
 def test_extract_batch_matches_device_featurizer():

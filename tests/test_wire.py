@@ -20,9 +20,10 @@ def _host_padded(wavs, batch, n_pad):
     out = np.zeros((batch, n_pad), np.float32)
     lens = np.zeros((batch,), np.int32)
     for i, w in enumerate(wavs):
-        # saturating PCM16 quantization (the wire's definition)
+        # saturating round(x*32768) quantization (the wire's definition;
+        # exact inverse of the k/32768 wav normalization)
         q = np.clip(
-            w.astype(np.float64) * 32767.0, -32768, 32767
+            np.round(w.astype(np.float64) * 32768.0), -32768, 32767
         ).astype(np.int16)
         out[i, : len(w)] = q.astype(np.float32) / 32768.0
         lens[i] = len(w)
@@ -171,3 +172,26 @@ def test_pcm16_saturates_not_wraps():
     got = np.asarray(got)[0]
     assert got[0] > 0.99 and got[1] < -0.99
     assert abs(got[2] - 0.5) < 1e-4
+
+
+def test_pcm16_exact_inverse_of_wav_normalization():
+    """Disk sample k -> read_wav's k/32768 -> wire -> unpack must return
+    k/32768 EXACTLY for every representable k (the truncating x*32767
+    quantizer shifted every nonzero sample 1 LSB toward zero)."""
+    k = np.array(
+        [-32768, -32767, -100, -1, 0, 1, 99, 12345, 32766, 32767],
+        np.int32,
+    )
+    w = (k.astype(np.float32) / 32768.0).astype(np.float32)
+    cap = wire.wire_cap(1, len(w))
+    flat = wire.pack_audio([w], cap)
+    got, lens = wire.unpack_audio(flat, 1, 1024)
+    np.testing.assert_array_equal(np.asarray(got)[0, : len(w)], w)
+    # and samples at/above full scale saturate instead of wrapping
+    hot = np.array([1.5, -1.5, 1.0, -1.0], np.float32)
+    flat2 = wire.pack_audio([hot], wire.wire_cap(1, 4))
+    got2, _ = wire.unpack_audio(flat2, 1, 1024)
+    np.testing.assert_array_equal(
+        np.asarray(got2)[0, :4],
+        np.array([32767, -32768, 32767, -32768], np.float32) / 32768.0,
+    )
