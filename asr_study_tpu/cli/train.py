@@ -96,12 +96,17 @@ def main(argv=None) -> int:
         args.model, args.params, num_classes=label_parser.num_classes
     )
 
-    n_dev = args.num_devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    avail = len(jax.devices())
+    n_dev = args.num_devices or avail
+    if n_dev > avail:
+        raise SystemExit(
+            f"--num_devices {n_dev} but only {avail} device(s) available"
+        )
     if args.batch_size % n_dev:
         raise SystemExit(
             f"--batch_size {args.batch_size} not divisible by {n_dev} devices"
         )
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
 
     from asr_study_tpu.cli.data_flow import flow_from_arg
 

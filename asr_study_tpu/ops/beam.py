@@ -46,9 +46,14 @@ import jax.numpy as jnp
 
 from asr_study_tpu.ops.ctc import LOG_EPS, _logadd
 
-_HASH_MULT = jnp.uint32(0x9E3779B1)   # golden-ratio multiplier (lane 1)
-_HASH_MULT2 = jnp.uint32(0x85EBCA77)  # murmur3 fmix constant (lane 2)
-_HASH_INIT = jnp.uint32(1)
+# Plain Python ints, cast at trace time: a module-level ``jnp.uint32(...)``
+# is an EAGER computation that initializes a jax backend at import — on
+# this environment's pinned-default-TPU setup that made every CLI import
+# claim the (exclusive) TPU chip before ``--platform cpu`` could take
+# effect, and block at import whenever another process held the chip.
+_HASH_MULT = 0x9E3779B1   # golden-ratio multiplier (lane 1)
+_HASH_MULT2 = 0x85EBCA77  # murmur3 fmix constant (lane 2)
+_HASH_INIT = 1
 
 
 def _decode_single(
@@ -104,11 +109,11 @@ def _decode_single(
             jnp.where(is_last, p_b[:, None], p_tot[:, None]) + lp_c
         ).reshape(-1)                                        # [W*E]
         ext_h1 = (
-            hashes[:, None] * _HASH_MULT
+            hashes[:, None] * jnp.uint32(_HASH_MULT)
             + (chars[None, :] + 1).astype(jnp.uint32)
         ).reshape(-1)
         ext_h2 = (
-            hashes2[:, None] * _HASH_MULT2
+            hashes2[:, None] * jnp.uint32(_HASH_MULT2)
             + (chars[None, :] + 1).astype(jnp.uint32)
         ).reshape(-1)
 

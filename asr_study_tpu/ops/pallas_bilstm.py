@@ -50,12 +50,18 @@ from asr_study_tpu.ops.pallas_lstm import (
 
 
 def _fused_budget() -> int:
-    """The fused kernel streams BOTH directions' blocks, so it gets twice
-    the single-direction budget — paired with an explicitly raised Mosaic
-    VMEM ceiling (below) so the chunk size does not halve vs the
-    per-direction kernels (halved chunks double the grid steps and erase
-    the fusion win)."""
-    return 2 * _base._vmem_budget()
+    """The fused kernel streams BOTH directions' blocks, so it gets a
+    multiple of the single-direction budget — paired with an explicitly
+    raised Mosaic VMEM ceiling (below) so the chunk size does not halve vs
+    the per-direction kernels (halved chunks double the grid steps and
+    erase the fusion win).  3x (not 2x) where the ceiling is raised: at
+    B=32, H=256 the two lanes' fwd blocks need 25.2 MB double-buffered
+    for a 32-frame chunk, just over 2x12 MB — 3x keeps the full chunk
+    (and lets the bwd chunk double to 16), comfortably inside the 64 MB
+    ceiling.  On 16 MiB-VMEM generations (no raised ceiling) stay at 2x
+    of the already-scaled-down budget."""
+    factor = 3 if _compiler_params(False) is not None else 2
+    return factor * _base._vmem_budget()
 
 
 def _compiler_params(interpret: bool):
@@ -213,9 +219,12 @@ def _bibwd_call(xp_f, xp_b, mask, h_f, c_f, h_b, c_b, dh_f, dh_b,
                 wh_f, wh_b, hidden: int, interpret: bool):
     t_steps, batch, gh = xp_f.shape
     t_pad = h_f.shape[0]
-    # streamed per frame, both lanes: xp+dxp [B, 4H] + 4 x [B, H] each
+    # streamed per frame, both lanes: xp+dxp [B, 4H] + 4 x [B, H] each.
+    # Cap at 2x the per-direction bwd chunk: the raised fused budget fits
+    # 16-frame blocks, halving the grid-step count (and its per-block
+    # overhead) for the same VMEM-residency argument as the fwd kernel.
     per_frame = 2 * batch * (2 * gh + 4 * hidden) * 4
-    cap = _budget_chunk(_base._CHUNK_BWD, t_pad, per_frame,
+    cap = _budget_chunk(2 * _base._CHUNK_BWD, t_pad, per_frame,
                         budget=_fused_budget())
     chunk = next(c for c in range(cap, 0, -1) if t_pad % c == 0)
     n_chunks = t_pad // chunk

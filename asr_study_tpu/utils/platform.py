@@ -40,10 +40,23 @@ def select_platform(platform: Optional[str]) -> None:
         return
     import jax
 
+    # Fail LOUDLY if some backend is already up: jax.config.update no
+    # longer raises in that case, it just silently leaves the existing
+    # client (and its device placement) in place.  This bit hard here
+    # once: an eager module-level jnp constant initialized the pinned
+    # remote-TPU backend at import, so every "--platform cpu" CLI run
+    # claimed (and could block on) the exclusive TPU chip.
     try:
-        jax.config.update("jax_platforms", platform)
-    except RuntimeError as e:  # backend already initialized
+        from jax._src import xla_bridge as _xb
+
+        started = set(getattr(_xb, "_backends", {}) or {})
+    except Exception:  # private API moved — skip the guard, keep working
+        started = set()
+    if started and platform not in started:
         raise RuntimeError(
-            f"cannot select platform {platform!r}: a jax backend is already "
-            "initialized; call select_platform before any jax computation"
-        ) from e
+            f"cannot select platform {platform!r}: backend(s) "
+            f"{sorted(started)} already initialized; call select_platform "
+            "before any jax computation (check for module-level eager "
+            "jnp/jax calls at import time)"
+        )
+    jax.config.update("jax_platforms", platform)
