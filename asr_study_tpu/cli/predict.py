@@ -63,10 +63,8 @@ def _decode(logits, lengths, beam_width: int, blank_id: int):
 def _predict_on_device(args, model, state, feat_kw):
     """Ragged wire -> device features -> model -> decode, one jit."""
     from asr_study_tpu.data import wire
+    from asr_study_tpu.features.select import featurizer_candidates
     from asr_study_tpu.features.wav import read_wav
-
-    def build(cls):
-        return cls(kind=args.input_parser, **feat_kw)
 
     wavs = [read_wav(p)[0] for p in args.wavs]
     batch = max(1, min(args.batch_size, len(wavs)))
@@ -86,29 +84,29 @@ def _predict_on_device(args, model, state, feat_kw):
             )
         return serve
 
-    # Probe the Pallas featurizer with ONE compile-forcing call; only a
-    # failure of THAT falls back to the XLA featurizer (Mosaic rejecting
-    # an exotic config).  Errors in the remaining batches re-raise as
-    # themselves — a bare fallback here used to silently re-dispatch
-    # everything through a recompile on any transient dispatch error.
-    try:
-        from asr_study_tpu.features.pallas_fbank import PallasFeaturizer
+    # Probe each candidate with ONE compile-forcing call; only a failure
+    # of THAT moves to the next (Mosaic rejecting an exotic config).
+    # Errors in the remaining batches re-raise as themselves — a bare
+    # fallback there used to silently re-dispatch everything through a
+    # recompile on any transient dispatch error.
+    candidates = list(featurizer_candidates(args.input_parser, **feat_kw))
+    for n_left, featurizer in enumerate(candidates, 1):
+        serve = make_serve(featurizer)
+        try:
+            probe = serve(state.params, bufs[0])
+            np.asarray(probe[0])    # force compile + execute
+            break
+        except Exception as e:
+            if n_left == len(candidates):
+                raise
+            import sys
 
-        serve = make_serve(build(PallasFeaturizer))
-        probe = serve(state.params, bufs[0])
-        np.asarray(probe[0])    # force compile + execute
-    except Exception as e:
-        import sys
-
-        print(
-            f"pallas featurizer unavailable ({type(e).__name__}); "
-            "falling back to the XLA feature path",
-            file=sys.stderr,
-        )
-        from asr_study_tpu.features.device import DeviceFeaturizer
-
-        serve = make_serve(build(DeviceFeaturizer))
-        probe = serve(state.params, bufs[0])
+            print(
+                f"{type(featurizer).__name__} unavailable "
+                f"({type(e).__name__}); falling back to the XLA "
+                "feature path",
+                file=sys.stderr,
+            )
     outs = [probe] + [serve(state.params, b) for b in bufs[1:]]
 
     dec = np.concatenate([np.asarray(d) for d, _ in outs])[: len(wavs)]

@@ -207,6 +207,17 @@ def _read_meta(grp):
     return labels, texts, durations
 
 
+def read_h5_inputs(h5_path: str, split: str, shapes):
+    """Load only the feature rows of a split (the metadata came from
+    ``read_h5_meta``) — avoids decoding every vlen label/text twice when
+    the generator has already read them to size the split."""
+    with h5py.File(h5_path, "r") as f:
+        grp = _split_group(f, h5_path, split)
+        return [
+            x.reshape(tuple(s)) for x, s in zip(grp["inputs"][:], shapes)
+        ]
+
+
 def read_h5_meta(h5_path: str, split: str):
     """Load only the small per-utterance metadata of a split (labels,
     texts, durations, shapes) — the lazy-streaming fast path that leaves

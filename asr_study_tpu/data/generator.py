@@ -87,12 +87,13 @@ class DatasetGenerator:
         ``max_in_memory_bytes`` stream per-batch from disk with bounded RSS
         (H5FeatureRows); smaller splits load fully (the fast path)."""
         from asr_study_tpu.data.dataset_parser import (
-            H5FeatureRows, read_h5, read_h5_meta,
+            H5FeatureRows, read_h5, read_h5_inputs, read_h5_meta,
         )
 
         if lazy is None or lazy:
-            # one metadata read decides AND feeds the lazy path (the
-            # previous flow re-read the shapes table up to three times)
+            # one metadata read decides AND feeds both paths (the previous
+            # flow re-read the shapes table up to three times, and the
+            # in-memory path re-decoded every vlen label/text)
             shapes, labels, texts, _durs = read_h5_meta(h5_path, split)
             nbytes = int(
                 np.sum(shapes[:, 0].astype(np.int64) * shapes[:, 1]) * 4
@@ -100,6 +101,8 @@ class DatasetGenerator:
             if lazy or nbytes > self.max_in_memory_bytes:
                 rows = H5FeatureRows(h5_path, split, shapes=shapes)
                 return self.flow(rows, labels, texts)
+            inputs = read_h5_inputs(h5_path, split, shapes)
+            return self.flow(inputs, labels, texts)
         inputs, labels, texts, _durs = read_h5(h5_path, split)
         return self.flow(inputs, labels, texts)
 

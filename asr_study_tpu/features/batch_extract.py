@@ -45,27 +45,23 @@ class DeviceFeatureExtractor:
         self._featurizer = None
         self._use_pallas = use_pallas
         self._serve_cache = {}
+        self._pool = None
+
+    def _fetch_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(8)
+        return self._pool
 
     def _build(self):
         if self._featurizer is not None:
             return self._featurizer
-        if self._use_pallas:
-            try:
-                from asr_study_tpu.features.pallas_fbank import (
-                    PallasFeaturizer,
-                )
+        from asr_study_tpu.features.select import featurizer_candidates
 
-                self._featurizer = PallasFeaturizer(
-                    kind=self.kind, fs=self.fs, **self._kw
-                )
-                return self._featurizer
-            except Exception:
-                pass
-        from asr_study_tpu.features.device import DeviceFeaturizer
-
-        self._featurizer = DeviceFeaturizer(
-            kind=self.kind, fs=self.fs, **self._kw
-        )
+        self._featurizer = next(featurizer_candidates(
+            self.kind, use_pallas=self._use_pallas, fs=self.fs, **self._kw
+        ))
         return self._featurizer
 
     @property
@@ -138,12 +134,10 @@ class DeviceFeatureExtractor:
             pending.append((idxs, feats, feat_lens))
         # concurrent fetches: on a remote backend serial np.asarray pays a
         # full round trip per array (measured 5.0 s -> 0.93 s for 4
-        # batches when pooled)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(8) as pool:
-            flat_list = [a for (_, f, l) in pending for a in (f, l)]
-            got = list(pool.map(np.asarray, flat_list))
+        # batches when pooled); one pool per extractor instance, not per
+        # call — write_split calls this once per 256-utterance chunk
+        flat_list = [a for (_, f, l) in pending for a in (f, l)]
+        got = list(self._fetch_pool().map(np.asarray, flat_list))
         for k, (idxs, _, _) in enumerate(pending):
             feats, feat_lens = got[2 * k], got[2 * k + 1]
             for r, i in enumerate(idxs):

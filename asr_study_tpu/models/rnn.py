@@ -33,10 +33,10 @@ from asr_study_tpu.models.cells import (
 RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
 
 
-def _pallas_eligible(cell, key, train) -> bool:
+def _pallas_eligible(cell) -> bool:
     # exact types: every signature cell has a fused kernel (zoneout's
-    # stochastic decisions are drawn outside and streamed in, so it
-    # qualifies at train time too)
+    # stochastic decisions are drawn outside and streamed in, so
+    # eligibility no longer depends on train mode or PRNG state)
     return (
         type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell, MILSTMCell,
                        ZoneoutLSTMCell)
@@ -126,7 +126,7 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
     t_steps, batch = xp.shape[0], xp.shape[1]
     orig_mask = mask
     backend = backend or RNN_BACKEND
-    if backend != "scan" and _pallas_eligible(cell, key, train):
+    if backend != "scan" and _pallas_eligible(cell):
         on_tpu = jax.default_backend() == "tpu"
         if backend == "pallas" or on_tpu:
             # f32 mask: Mosaic can't compare bf16 (mixed-precision models

@@ -22,7 +22,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from asr_study_tpu.ops import pallas_lstm as _base
 from asr_study_tpu.ops.pallas_bilstm import _compiler_params, _fused_budget
-from asr_study_tpu.ops.pallas_lstm import _budget_chunk, _pad_time
+from asr_study_tpu.ops.pallas_lstm import (
+    _budget_chunk,
+    _divisor_chunk,
+    _pad_time,
+)
 from asr_study_tpu.ops.pallas_mi_lstm import (
     _mi_cell_math,
     _mi_row_bwd,
@@ -175,9 +179,8 @@ def _bibwd_call(xp_f, xp_b, mask, h_f, c_f, h_b, c_b, dh_f, dh_b,
     t_steps, batch, gh = xp_f.shape
     t_pad = h_f.shape[0]
     per_frame = 2 * batch * (2 * gh + 4 * hidden) * 4
-    cap = _budget_chunk(_base._CHUNK_BWD, t_pad, per_frame,
-                        budget=_fused_budget())
-    chunk = next(c for c in range(cap, 0, -1) if t_pad % c == 0)
+    chunk = _divisor_chunk(t_pad, per_frame, 2 * _base._CHUNK_BWD,
+                           budget=_fused_budget())
     n_chunks = t_pad // chunk
 
     xpf_p = _pad_time(xp_f, t_pad)

@@ -25,7 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from asr_study_tpu.ops import pallas_lstm as _base
 from asr_study_tpu.ops.pallas_bilstm import _compiler_params, _fused_budget
-from asr_study_tpu.ops.pallas_lstm import _PREC, _budget_chunk, _pad_time
+from asr_study_tpu.ops.pallas_lstm import (
+    _PREC,
+    _budget_chunk,
+    _divisor_chunk,
+    _pad_time,
+)
 from asr_study_tpu.ops.pallas_zoneout_lstm import (
     _zo_cell_math,
     _zo_row_bwd,
@@ -176,9 +181,8 @@ def _bibwd_call(xp_f, xp_b, mask, zh_f, zc_f, zh_b, zc_b,
     t_steps, batch, gh = xp_f.shape
     t_pad = h_f.shape[0]
     per_frame = 2 * batch * (2 * gh + 5 * hidden) * 4
-    cap = _budget_chunk(_base._CHUNK_BWD, t_pad, per_frame,
-                        budget=_fused_budget())
-    chunk = next(c for c in range(cap, 0, -1) if t_pad % c == 0)
+    chunk = _divisor_chunk(t_pad, per_frame, 2 * _base._CHUNK_BWD,
+                           budget=_fused_budget())
     n_chunks = t_pad // chunk
 
     xpf_p = _pad_time(xp_f, t_pad)

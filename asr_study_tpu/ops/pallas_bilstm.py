@@ -43,6 +43,7 @@ from asr_study_tpu.ops import pallas_lstm as _base
 from asr_study_tpu.ops.pallas_lstm import (
     _PREC,
     _budget_chunk,
+    _divisor_chunk,
     _lstm_cell_math,
     _lstm_row_bwd,
     _pad_time,
@@ -224,9 +225,8 @@ def _bibwd_call(xp_f, xp_b, mask, h_f, c_f, h_b, c_b, dh_f, dh_b,
     # 16-frame blocks, halving the grid-step count (and its per-block
     # overhead) for the same VMEM-residency argument as the fwd kernel.
     per_frame = 2 * batch * (2 * gh + 4 * hidden) * 4
-    cap = _budget_chunk(2 * _base._CHUNK_BWD, t_pad, per_frame,
-                        budget=_fused_budget())
-    chunk = next(c for c in range(cap, 0, -1) if t_pad % c == 0)
+    chunk = _divisor_chunk(t_pad, per_frame, 2 * _base._CHUNK_BWD,
+                           budget=_fused_budget())
     n_chunks = t_pad // chunk
 
     xpf_p = _pad_time(xp_f, t_pad)

@@ -38,8 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from asr_study_tpu.ops.ctc import LOG_EPS
-from asr_study_tpu.ops.pallas_lstm import _budget_chunk, _pad_time
+from asr_study_tpu.ops.ctc import LOG_EPS, _logadd, _logadd3
+from asr_study_tpu.ops.pallas_lstm import (
+    _budget_chunk,
+    _divisor_chunk,
+    _pad_time,
+)
 
 _CHUNK = 128      # frames per grid step (tiny rows; DMA amortization)
 
@@ -47,20 +51,7 @@ _CHUNK = 128      # frames per grid step (tiny rows; DMA amortization)
 def _rev_chunk(t_pad: int, per_frame_bytes: int) -> int:
     """Largest divisor of the padded length within the VMEM budget (the
     reverse walk needs t_pad % chunk == 0 for its block index maps)."""
-    cap = _budget_chunk(_CHUNK, t_pad, per_frame_bytes)
-    for c in range(cap, 0, -1):
-        if t_pad % c == 0:
-            return c
-    return 1
-
-
-def _logadd(a, b):
-    mx = jnp.maximum(jnp.maximum(a, b), LOG_EPS)
-    return mx + jnp.log1p(jnp.exp(jnp.minimum(a, b) - mx))
-
-
-def _logadd3(a, b, c):
-    return _logadd(_logadd(a, b), c)
+    return _divisor_chunk(t_pad, per_frame_bytes, _CHUNK)
 
 
 def _roll_r(x, n, ids, interpret):

@@ -215,13 +215,20 @@ def _budget_chunk(cap: int, t_steps: int, per_frame_bytes: int,
     return max(c, 1)
 
 
-def _bwd_chunk(t_pad: int, per_frame_bytes: int) -> int:
-    """Largest divisor of the padded length within the VMEM budget."""
-    cap = _budget_chunk(_CHUNK_BWD, t_pad, per_frame_bytes)
+def _divisor_chunk(t_pad: int, per_frame_bytes: int, cap: int,
+                   budget: int | None = None) -> int:
+    """Largest divisor of the padded length within the VMEM budget.
+    Shared by every backward/reverse kernel whose grid must tile ``t_pad``
+    exactly (the forward kernels pad up instead)."""
+    cap = _budget_chunk(cap, t_pad, per_frame_bytes, budget=budget)
     for c in range(cap, 0, -1):
         if t_pad % c == 0:
             return c
     return 1
+
+
+def _bwd_chunk(t_pad: int, per_frame_bytes: int) -> int:
+    return _divisor_chunk(t_pad, per_frame_bytes, _CHUNK_BWD)
 
 
 def _pad_time(x, t_pad):

@@ -31,6 +31,32 @@ def setup_compilation_cache(directory: Optional[str] = None) -> None:
         pass  # cache is an optimization; never fail a CLI over it
 
 
+# Dense matmul peak by device generation (FLOP/s, bf16 MXU; f32 runs as
+# bf16 MXU passes on TPU, so MFU reported against this is a conservative
+# floor).  Shared by bench.py and benchmarks/ so every MFU number in
+# BENCHMARKS.md is computed against the same device-aware peak.
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def peak_flops(default: float = 197e12) -> float:
+    """Best-effort bf16 MXU peak of device 0 (fallback: v5e)."""
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return default
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return default
+
+
 def select_platform(platform: Optional[str]) -> None:
     """Force jax onto ``platform`` ('cpu' | 'tpu' | ...); None = env default.
 

@@ -61,7 +61,10 @@ import jax.numpy as jnp
 from asr_study_tpu.data import wire
 from asr_study_tpu.models.zoo import build_model
 from asr_study_tpu.ops.ctc import greedy_decode
-from asr_study_tpu.utils.platform import setup_compilation_cache
+from asr_study_tpu.utils.platform import (
+    peak_flops as _peak_flops,
+    setup_compilation_cache,
+)
 
 SR = 16000
 # Wire encoding for the H2D audio transfer: pcm16 (default, lossless) or
@@ -77,26 +80,6 @@ TARGET_RTF = 50.0
 HIDDEN = 256
 LAYERS = 2
 NUM_CLASSES = 27
-
-# Dense matmul peak by device generation (FLOP/s, bf16 MXU; f32 runs at a
-# fraction of this, so MFU reported against it is a conservative floor).
-_PEAK_FLOPS = {
-    "v4": 275e12,
-    "v5 lite": 197e12, "v5e": 197e12,
-    "v5p": 459e12, "v5": 459e12,
-    "v6 lite": 918e12, "v6e": 918e12,
-}
-
-
-def _peak_flops() -> float:
-    try:
-        kind = jax.devices()[0].device_kind.lower()
-    except Exception:
-        return 197e12
-    for key, val in _PEAK_FLOPS.items():
-        if key in kind:
-            return val
-    return 197e12
 
 
 def synth_batch(rng: np.random.RandomState):
@@ -116,14 +99,10 @@ def synth_batch(rng: np.random.RandomState):
 
 
 def make_featurizer():
-    try:
-        from asr_study_tpu.features.pallas_fbank import PallasFeaturizer
+    from asr_study_tpu.features.select import featurizer_candidates
 
-        return PallasFeaturizer(kind="mfcc", d=True, dd=True), "pallas"
-    except Exception:
-        from asr_study_tpu.features.device import DeviceFeaturizer
-
-        return DeviceFeaturizer(kind="mfcc", d=True, dd=True), "xla"
+    f = next(featurizer_candidates("mfcc", d=True, dd=True))
+    return f, ("pallas" if type(f).__name__ == "PallasFeaturizer" else "xla")
 
 
 def pipeline_flops(featurizer, t_frames: int, num_feats: int) -> float:

@@ -93,9 +93,10 @@ def main() -> int:
         for f in fin
     ) + 2 * t * b * (2 * h) * 28
     train_flops = 3 * fwd_flops
-    # v5e MXU peak (bf16): ~197 TFLOP/s; f32 runs as 1-pass bf16 here
-    peak = 197e12
-    mfu = train_flops * steps_per_s / peak * 100.0
+    from asr_study_tpu.utils.platform import peak_flops
+
+    # device-aware bf16 MXU peak (f32 runs as 1-pass bf16 here)
+    mfu = train_flops * steps_per_s / peak_flops() * 100.0
 
     print(json.dumps({
         "metric": "train_step_throughput",
