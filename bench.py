@@ -182,6 +182,13 @@ def main() -> int:
 
     infer = jax.jit(_pipeline)
 
+    # Repeat the batch set inside the program: one dispatch+fetch costs a
+    # ~28 ms tunnel round trip, which divided over only 8 batches added a
+    # ~3.5 ms/batch bias to the r1/r2 on-chip numbers (the bias was
+    # consistent, so A/Bs were fair — but absolute on-chip time was ~1.8x
+    # overstated).  32 scan iterations amortize it to <1 ms/batch.
+    CHIP_REPS = 4
+
     @jax.jit
     def chip_loop(params, flat_stack):
         # All N batches in ONE program: a lax.scan over the stacked wire
@@ -189,11 +196,13 @@ def main() -> int:
         # so neither the per-call round trip nor the output transfer is
         # charged to the chip.  The batches hold distinct audio, so XLA
         # cannot hoist the body (verified: an invariant body gets CSE'd
-        # and reads 4x faster than real work).
+        # and reads 4x faster than real work; repeating the xs rows CHIP_REPS
+        # times does not enable hoisting — a scan body executes per row).
         def body(acc, flat):
             d, dl = _pipeline(params, flat)
             return acc + d.sum() + dl.sum(), None
-        acc, _ = jax.lax.scan(body, jnp.int32(0), flat_stack)
+        reps = jnp.concatenate([flat_stack] * CHIP_REPS)
+        acc, _ = jax.lax.scan(body, jnp.int32(0), reps)
         return acc
 
     def run(flat):
@@ -269,7 +278,7 @@ def main() -> int:
         t0 = time.perf_counter()
         int(chip_loop(params, flat_stack))  # scalar fetch = the sync
         onchip_walls.append(time.perf_counter() - t0)
-    onchip_s = min(onchip_walls) / N_BATCHES
+    onchip_s = min(onchip_walls) / (N_BATCHES * CHIP_REPS)
 
     t_frames = int(
         np.ceil((n_pad - featurizer.frame_len) / featurizer.frame_step)
