@@ -31,6 +31,17 @@ from asr_study_tpu.features import audio
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# DFT-matmul precision knob, shared with the Pallas kernel (see
+# pallas_fbank._FEAT_MM_PRECISION).  XLA lowers HIGH natively (3 bf16
+# passes), so no manual split is needed here.  Default "highest" keeps
+# the parity contract; "high" is the serving-speed option (~1.3e-3
+# worst-case log-domain error).
+_DFT_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[__import__("os").environ.get("ASR_FEAT_MM_PRECISION", "highest")]
+
 
 def device_num_frames(wav_lengths: jax.Array, frame_len: int,
                       frame_step: int) -> jax.Array:
@@ -55,16 +66,38 @@ def _delta_device(feat: jax.Array, lengths: jax.Array, n: int = 2) -> jax.Array:
 
     feat [B, T, F], lengths [B] -> [B, T, F]; matches audio.delta row-for-row
     on each utterance's first ``lengths[b]`` frames.
+
+    Gather-free: ``take_along_axis`` over the time axis lowers to a
+    per-element gather on TPU that costs ~0.6 ms/batch per delta pass
+    (over half the whole feature stage, measured) — static shifts +
+    boundary fills are elementwise and fuse to ~nothing.  Frames beyond
+    ``lengths[b]`` are garbage (they were edge-clipped before); every
+    consumer masks by feat_lengths, and delta-of-delta stays exact on
+    real frames because pass 1 is exact on frames ``<= lengths[b]-1``
+    and pass 2 clips its reads to that range.
     """
     t_max = feat.shape[1]
     denom = 2.0 * sum(i * i for i in range(1, n + 1))
-    t_idx = jnp.arange(t_max)[None, :]
+    last = jnp.maximum(lengths - 1, 0)                       # [B]
+    t_idx = jnp.arange(t_max)[None, :, None]                 # [1, T, 1]
+    # per-row last valid frame via one-hot contraction (no gather)
+    onehot = (
+        jnp.arange(t_max)[None, :] == last[:, None]
+    ).astype(feat.dtype)                                     # [B, T]
+    x_last = jnp.einsum("bt,btf->bf", onehot, feat)[:, None, :]
+    x_first = feat[:, :1, :]
+    last_b = last[:, None, None]
     out = jnp.zeros_like(feat)
-    for k in range(-n, n + 1):
-        if k == 0:
-            continue
-        idx = jnp.clip(t_idx + k, 0, jnp.maximum(lengths - 1, 0)[:, None])
-        out = out + k * jnp.take_along_axis(feat, idx[..., None], axis=1)
+    for k in range(1, n + 1):
+        fwd = jnp.concatenate(
+            [feat[:, k:, :], jnp.zeros_like(feat[:, :k, :])], axis=1
+        )
+        fwd = jnp.where(t_idx + k > last_b, x_last, fwd)     # clip to last
+        bwd = jnp.concatenate(
+            [jnp.broadcast_to(x_first, feat[:, :k, :].shape),
+             feat[:, :-k, :]], axis=1
+        )                                                    # clip to first
+        out = out + k * (fwd - bwd)
     return out / denom
 
 
@@ -228,8 +261,10 @@ class DeviceFeaturizer:
         frames = pre[:, idx] * self._window                  # [B, T, L]
 
         # matmul-DFT power spectrum (MXU)
-        re = jnp.einsum("btl,lk->btk", frames, self._cos, precision=_PREC)
-        im = jnp.einsum("btl,lk->btk", frames, self._sin, precision=_PREC)
+        re = jnp.einsum("btl,lk->btk", frames, self._cos,
+                        precision=_DFT_PREC)
+        im = jnp.einsum("btl,lk->btk", frames, self._sin,
+                        precision=_DFT_PREC)
         pspec = (re * re + im * im) / self.nfft              # [B, T, K]
 
         energy = jnp.sum(pspec, axis=-1)

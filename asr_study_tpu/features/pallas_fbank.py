@@ -41,6 +41,42 @@ from asr_study_tpu.features.device import (
 
 _TT = 128            # frames per grid step
 
+# In-kernel DFT-matmul precision.  On TPU an f32 matmul is emulated as
+# bf16 MXU passes: DEFAULT=1, HIGHEST=6 — and Mosaic does not lower the
+# 3-pass HIGH, so "high" here is a manual error-compensated split
+# (x_hi@w_hi + x_hi@w_lo + x_lo@w_hi).  The two DFT dots carry ~85% of
+# the kernel's FLOPs; measured on v5e (B=32, 8 s utterances):
+# highest 2.06 -> high 1.75 -> default 1.50 ms/batch.  Parity cost of
+# "high": worst-case 1.3e-3 absolute in log domain — inside the 2e-3
+# vs-oracle contract but NOT the default build's 1e-4, because the bf16
+# hi/lo split representation itself carries ~2^-18 relative error that
+# near-silent mel channels amplify under log (keeping the lo@lo term
+# too was measured to not help).  Default stays "highest" = f32-exact;
+# set ASR_FEAT_MM_PRECISION=high for serving paths that prefer the
+# speed.  "default" is the raw 1-pass bf16 matmul (~2e-3 relative: NOT
+# parity-safe, measurement/ablation use only).
+_FEAT_MM_PRECISION = __import__("os").environ.get(
+    "ASR_FEAT_MM_PRECISION", "highest"
+)
+
+
+def _dft_dot(x, w):
+    """f32 matmul with f32 accumulation at the configured MXU precision."""
+    if _FEAT_MM_PRECISION == "highest":
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if _FEAT_MM_PRECISION == "default":
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    return acc
+
 
 def _fbank_kernel(
     *refs,
@@ -65,10 +101,8 @@ def _fbank_kernel(
     )                                            # [TT, n_parts*hop]
     frames = frames * win_ref[0, :]              # window zeroes the overhang
 
-    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+    re = _dft_dot(frames, cos_ref[...])
+    im = _dft_dot(frames, sin_ref[...])
     pspec = (re * re + im * im) * (1.0 / nfft)   # [TT, K]
 
     feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32,
