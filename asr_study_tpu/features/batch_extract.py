@@ -46,6 +46,7 @@ class DeviceFeatureExtractor:
         self._use_pallas = use_pallas
         self._serve_cache = {}
         self._pool = None
+        self._probed = False  # True once any serve call has succeeded
 
     def _fetch_pool(self):
         if self._pool is None:
@@ -107,7 +108,6 @@ class DeviceFeatureExtractor:
         # length buckets -> few static shapes (compile cache friendly)
         order = sorted(range(len(wavs)), key=lambda i: len(wavs[i]))
         out: List[np.ndarray] = [None] * len(wavs)  # type: ignore
-        fallback_tried = False
         # dispatch every bucket first (async), then fetch: transfers of
         # batch k+1 overlap compute of batch k
         pending = []
@@ -122,15 +122,30 @@ class DeviceFeatureExtractor:
             flat = wire.pack_audio(group, cap, batch=self.batch)
             try:
                 feats, feat_lens = self._serve(self.batch, n_pad)(flat)
-            except Exception:
-                # Mosaic lowering can reject exotic configs: fall back to
-                # the XLA device path once, permanently
-                if fallback_tried or not self._use_pallas:
+            except Exception as e:
+                # Fall back to the XLA device path ONLY if the very first
+                # serve call fails (Mosaic rejecting this config at
+                # compile time — before anything was extracted, so one
+                # implementation serves the whole corpus).  Once any call
+                # has succeeded, errors re-raise as themselves: a bare
+                # fallback here would mask transient TPU failures and
+                # silently mix eps-level-different feature
+                # implementations within one dataset.
+                if self._probed or not self._use_pallas:
                     raise
-                fallback_tried = True
+                import sys
+
+                print(
+                    f"pallas featurizer unavailable "
+                    f"({type(e).__name__}); falling back to the XLA "
+                    "feature path for this extractor",
+                    file=sys.stderr,
+                )
                 self._use_pallas = False
                 self._featurizer = None
+                self._serve_cache.clear()
                 feats, feat_lens = self._serve(self.batch, n_pad)(flat)
+            self._probed = True
             pending.append((idxs, feats, feat_lens))
         # concurrent fetches: on a remote backend serial np.asarray pays a
         # full round trip per array (measured 5.0 s -> 0.93 s for 4

@@ -36,11 +36,14 @@ _PREC = jax.lax.Precision.HIGHEST
 # passes), so no manual split is needed here.  Default "highest" keeps
 # the parity contract; "high" is the serving-speed option (~1.3e-3
 # worst-case log-domain error).
+from asr_study_tpu.utils.env import choice_env
+
 _DFT_PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[__import__("os").environ.get("ASR_FEAT_MM_PRECISION", "highest")]
+}[choice_env("ASR_FEAT_MM_PRECISION", "highest",
+             ("highest", "high", "default"))]
 
 
 def device_num_frames(wav_lengths: jax.Array, frame_len: int,

@@ -55,8 +55,10 @@ _TT = 128            # frames per grid step
 # set ASR_FEAT_MM_PRECISION=high for serving paths that prefer the
 # speed.  "default" is the raw 1-pass bf16 matmul (~2e-3 relative: NOT
 # parity-safe, measurement/ablation use only).
-_FEAT_MM_PRECISION = __import__("os").environ.get(
-    "ASR_FEAT_MM_PRECISION", "highest"
+from asr_study_tpu.utils.env import choice_env
+
+_FEAT_MM_PRECISION = choice_env(
+    "ASR_FEAT_MM_PRECISION", "highest", ("highest", "high", "default")
 )
 
 

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from asr_study_tpu.models import nn
+from asr_study_tpu.utils.env import choice_env
 from asr_study_tpu.models.cells import (
     GRUCell, LayerNormLSTMCell, LSTMCell, MILSTMCell, ZoneoutLSTMCell,
     make_cell,
@@ -30,7 +31,8 @@ from asr_study_tpu.models.cells import (
 # (back-to-back full-pipeline runs): chunked pallas 1101x RTF vs scan 607x.
 # The chunking matters — one-frame-per-grid-step kernels measured 120x
 # (per-step block DMA dominates).  Override with ASR_RNN_BACKEND.
-RNN_BACKEND = os.environ.get("ASR_RNN_BACKEND", "auto")
+RNN_BACKEND = choice_env("ASR_RNN_BACKEND", "auto",
+                         ("auto", "scan", "pallas"))
 
 
 def _pallas_eligible(cell) -> bool:

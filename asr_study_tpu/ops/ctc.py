@@ -98,9 +98,15 @@ def ctc_loss(
         jnp.arange(t_max)[:, None] < logit_lengths[None, :]
     )                                                       # [T, B]
 
-    import os
+    from asr_study_tpu.utils.env import choice_env
 
-    backend = backend or os.environ.get("ASR_CTC_BACKEND", "auto")
+    _BACKENDS = ("auto", "scan", "pallas")
+    if backend is None:
+        backend = choice_env("ASR_CTC_BACKEND", "auto", _BACKENDS)
+    elif backend not in _BACKENDS:
+        raise ValueError(
+            f"ctc_loss backend={backend!r}: choose one of {_BACKENDS}"
+        )
     if backend != "scan":
         on_tpu = jax.default_backend() == "tpu"
         if backend == "pallas" or on_tpu:

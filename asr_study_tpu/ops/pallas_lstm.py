@@ -40,10 +40,12 @@ _PREC = jax.lax.Precision.HIGHEST
 # (cells._dot), and cross-precision training parity was measured at 0.1
 # loss after 21 steps — so DEFAULT is the default; set
 # ASR_RNN_MM_PRECISION=highest for f32-exact gate matmuls.
+from asr_study_tpu.utils.env import choice_env
+
 _MM_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
-}[__import__("os").environ.get("ASR_RNN_MM_PRECISION", "default")]
+}[choice_env("ASR_RNN_MM_PRECISION", "default", ("default", "highest"))]
 
 
 def _mm(x, w_ref):

@@ -94,3 +94,32 @@ def test_make_dataset_device_cli(tmp_path):
                 a = a.reshape(tuple(s))
                 b = b.reshape(tuple(s))
                 np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-3)
+
+
+def test_fallback_scoped_to_first_call():
+    """The XLA fallback may only engage if the VERY FIRST serve call fails
+    (compile-time rejection, before anything was extracted); once any call
+    has succeeded, errors re-raise — a silent mid-corpus fallback would mix
+    two eps-level-different feature implementations in one dataset."""
+    wavs = _wavs(n=3)
+    ex = DeviceFeatureExtractor(
+        kind="mfcc", batch=2, align=2048, use_pallas=True
+    )
+    real_serve = ex._serve
+
+    def failing_while_pallas(rows, n_pad):
+        if ex._use_pallas:
+            raise RuntimeError("mosaic says no")
+        return real_serve(rows, n_pad)
+
+    ex._serve = failing_while_pallas
+    got = ex.extract_batch(wavs)          # probe fails -> clean fallback
+    assert ex._use_pallas is False and ex._probed
+    assert len(got) == 3 and all(g.ndim == 2 for g in got)
+
+    def transient(rows, n_pad):
+        raise RuntimeError("transient TPU error")
+
+    ex._serve = transient
+    with pytest.raises(RuntimeError, match="transient"):
+        ex.extract_batch(wavs)

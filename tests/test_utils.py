@@ -51,3 +51,28 @@ def test_metric_writer_csv_widening_and_tensorboard(tmp_path):
     assert rows[1]["val_loss"] == "3.0"
     events = glob.glob(str(tmp_path / "tb" / "events.*"))
     assert events, "no tensorboard event file written"
+
+
+def test_choice_env_validates(monkeypatch):
+    from asr_study_tpu.utils.env import choice_env
+
+    monkeypatch.delenv("ASR_TEST_KNOB", raising=False)
+    assert choice_env("ASR_TEST_KNOB", "auto", ("auto", "scan")) == "auto"
+    monkeypatch.setenv("ASR_TEST_KNOB", "scan")
+    assert choice_env("ASR_TEST_KNOB", "auto", ("auto", "scan")) == "scan"
+    monkeypatch.setenv("ASR_TEST_KNOB", "typo")
+    with pytest.raises(ValueError, match="ASR_TEST_KNOB.*auto, scan"):
+        choice_env("ASR_TEST_KNOB", "auto", ("auto", "scan"))
+
+
+def test_ctc_backend_arg_validated():
+    import jax.numpy as jnp
+
+    from asr_study_tpu.ops.ctc import ctc_loss
+
+    logits = jnp.zeros((1, 4, 3))
+    with pytest.raises(ValueError, match="backend='typo'"):
+        ctc_loss(
+            logits, jnp.array([4]), jnp.array([[0]]), jnp.array([1]),
+            backend="typo",
+        )
