@@ -252,14 +252,18 @@ def main() -> int:
     # Escalating waits: congestion windows were observed to persist for
     # minutes (not just tens of seconds) — e.g. 2026-08-17 saw 2.6x-floor
     # walls across two full runs minutes apart while on-chip timing was
-    # unchanged.  Five sets with growing sleeps spans ~3 min of patience.
-    for sleep_s in (10.0, 20.0, 40.0, 60.0, 0.0):
+    # unchanged.  The trigger is 1.25x the floor model: clean windows
+    # measure 1.0-1.2x floor, and the 1.5x trigger used earlier let a
+    # 1.46x-floor congested set (937x vs the 1348x best) pass untried.
+    # Six sets with growing sleeps spans ~5.7 min of patience, still
+    # bounded for the driver.
+    for sleep_s in (10.0, 30.0, 60.0, 120.0, 120.0, 0.0):
         for _ in range(ROUNDS):
             t0 = time.perf_counter()
             outs = [run(*b) for b in batches]
             fetch(outs)
             walls.append(time.perf_counter() - t0)
-        if min(walls) < 1.5 * floor_s or not sleep_s:
+        if min(walls) < 1.25 * floor_s or not sleep_s:
             break
         time.sleep(sleep_s)
     wall = min(walls)
