@@ -133,6 +133,7 @@ def main(argv=None) -> int:
     state = trainer.init_state(
         jax.random.PRNGKey(args.seed), train_it.num_feats
     )
+    print(model.summary(state.params), file=sys.stderr)
     ckpt = CheckpointManager(args.save)
     if args.resume:
         if ckpt.latest_step is not None:

@@ -11,6 +11,7 @@ training/eval steps.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -100,6 +101,35 @@ class AcousticModel:
 
     def __call__(self, *args, **kw):
         return self.apply(*args, **kw)
+
+    def summary(self, params) -> str:
+        """Keras-``model.summary()``-style parameter table (the reference's
+        train flow printed one [ref: train.py via keras Model.summary]):
+        one line per leaf array with its tree path, shape and size, plus
+        the f32 total."""
+        leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+        rows = []
+        total = 0
+        for path, leaf in leaves:
+            keys = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            n = int(math.prod(leaf.shape)) if leaf.ndim else 1
+            total += n
+            rows.append((keys, str(tuple(leaf.shape)), n))
+        width = max(len(r[0]) for r in rows) + 2
+        swidth = max(len(r[1]) for r in rows) + 2
+        lines = [
+            f'Model "{self.name}" — {len(rows)} arrays, '
+            f"vocab {self.vocab_size} (blank={self.blank_id})"
+        ]
+        lines += [
+            f"  {k:<{width}}{s:<{swidth}}{n:>12,}" for k, s, n in rows
+        ]
+        lines.append(
+            f"  total params: {total:,} ({total * 4 / 1e6:.1f} MB f32)"
+        )
+        return "\n".join(lines)
 
 
 # ---------------------------------------------------------------------------

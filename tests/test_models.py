@@ -176,3 +176,21 @@ def test_jit_compiles():
     fn = jax.jit(lambda p, a, b: model.apply(p, a, b))
     out = fn(params, x, lengths)
     assert out.shape == (2, 12, 28)
+
+
+def test_model_summary_counts():
+    """summary() lists every leaf and its exact total (the reference
+    printed keras model.summary() at train start)."""
+    import jax
+
+    from asr_study_tpu.models.zoo import build_model
+
+    model = build_model(
+        "graves2006", {"num_hiddens": 16}, num_classes=27
+    )
+    params = model.init(jax.random.PRNGKey(0), 13)
+    s = model.summary(params)
+    total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert f"{total:,}" in s
+    assert "graves2006" in s and "blank=27" in s
+    assert len(s.splitlines()) == 2 + len(jax.tree_util.tree_leaves(params))
