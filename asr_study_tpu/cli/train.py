@@ -48,6 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "'latest' (bare --resume; errors if none exists) or "
                         "'auto' (resume when a checkpoint exists, otherwise "
                         "start fresh — crash-safe restart loops)")
+    p.add_argument("--init_from", default=None,
+                   help="warm-start the model weights from another run dir "
+                        "(its best checkpoint if kept, else latest); the "
+                        "optimizer starts fresh at step 0 — for fine-tuning "
+                        "across runs/optimizers, unlike --resume")
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
     p.add_argument("--seed", type=int, default=0)
@@ -134,6 +139,18 @@ def main(argv=None) -> int:
         jax.random.PRNGKey(args.seed), train_it.num_feats
     )
     print(model.summary(state.params), file=sys.stderr)
+    if args.init_from:
+        if args.resume:
+            raise SystemExit("--init_from and --resume are exclusive")
+        import dataclasses
+
+        src = CheckpointManager(args.init_from)
+        state = dataclasses.replace(
+            state, params=src.restore_params(state.params, best=True)
+        )
+        src.close()
+        print(f"warm-started weights from {args.init_from}",
+              file=sys.stderr)
     ckpt = CheckpointManager(args.save)
     if args.resume:
         if ckpt.latest_step is not None:

@@ -140,6 +140,55 @@ class CheckpointManager:
             step=jax.numpy.asarray(step, dtype=jax.numpy.int32),
         )
 
+    def restore_params(self, params, step: Optional[int] = None,
+                       best: bool = False):
+        """Warm-start restore: ONLY the model params, into the structure
+        of ``params`` — the checkpoint's optimizer state is ignored, so a
+        run trained with one optimizer can seed a run using another
+        (``train.py --init_from``).  Shapes must match exactly."""
+        mgr = self._mgr
+        if step is None:
+            if best and self.best_step is not None:
+                step = self.best_step
+                mgr = self._best_mgr or self._mgr
+            else:
+                step = self.latest_step
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {self.directory}"
+            )
+        # Target-less restore: the checkpoint's opt_state may have any
+        # structure (different optimizer), so no full target tree exists
+        # to give Orbax.  Its advisory "UNSAFE without a target" warnings
+        # are silenced because every leaf is shape-validated right below.
+        import logging
+
+        absl_log = logging.getLogger("absl")
+        prev_level = absl_log.level
+        absl_log.setLevel(logging.ERROR)
+        try:
+            saved = mgr.restore(step)["params"]
+        finally:
+            absl_log.setLevel(prev_level)
+        tgt_leaves, tgt_td = jax.tree_util.tree_flatten(params)
+        leaves = jax.tree_util.tree_leaves(saved)
+        if len(leaves) != len(tgt_leaves):
+            raise ValueError(
+                f"checkpoint under {self.directory} has {len(leaves)} "
+                f"param arrays, model expects {len(tgt_leaves)} — "
+                "different architecture?"
+            )
+        out = []
+        for got, want in zip(leaves, tgt_leaves):
+            if tuple(got.shape) != tuple(want.shape):
+                raise ValueError(
+                    f"param shape mismatch restoring from "
+                    f"{self.directory}: checkpoint {tuple(got.shape)} vs "
+                    f"model {tuple(want.shape)}"
+                )
+            out.append(jax.numpy.asarray(got, want.dtype))
+        return jax.tree_util.tree_unflatten(tgt_td, out)
+
     def close(self) -> None:
         self._mgr.close()
         if self._best_mgr is not None:

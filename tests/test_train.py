@@ -234,6 +234,36 @@ class TestCheckpoint:
         assert meta["history"][0]["val_loss"] == 1.5
         mgr.close()
 
+    def test_restore_params_warm_start(self, tmp_path):
+        """restore_params loads ONLY the weights (for --init_from): a
+        fresh optimizer/step, and it works regardless of the checkpoint's
+        optimizer structure; shape mismatches fail loudly."""
+        _, trainer = _toy_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        state, _ = trainer.train_step(
+            state, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"], jax.random.PRNGKey(2),
+        )
+        mgr = CheckpointManager(str(tmp_path / "run"))
+        mgr.save(state, metrics={"val_loss": 1.5})
+        mgr.wait()
+        mgr.close()
+
+        src = CheckpointManager(str(tmp_path / "run"))
+        fresh = trainer.init_state(jax.random.PRNGKey(99), input_dim=5)
+        warm = src.restore_params(fresh.params, best=True)
+        for a, c in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(warm),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+        other = trainer.init_state(jax.random.PRNGKey(0), input_dim=7)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            src.restore_params(other.params)
+        src.close()
+
 
 class TestProfileFlag:
     def test_profiler_trace_written(self, tmp_path):
