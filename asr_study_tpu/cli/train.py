@@ -39,6 +39,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--opt", default="adam")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--clipnorm", type=float, default=400.0)
+    p.add_argument("--lr_decay", type=float, default=0.0,
+                   help="staircase LR decay per epoch, e.g. 0.95 "
+                        "(0 = constant lr)")
+    p.add_argument("--early_stop", type=int, default=0,
+                   help="stop when val_loss has not improved for N "
+                        "epochs (0 = off)")
     p.add_argument("--save", default=None,
                    help="checkpoint/log dir (default: auto-named from the "
                         "model + non-default args, like the reference)")
@@ -87,7 +93,8 @@ def main(argv=None) -> int:
             ["--dataset", args.dataset]
         )
         tags = [args.model]
-        for k in ("params", "batch_size", "opt", "lr", "clipnorm", "bf16"):
+        for k in ("params", "batch_size", "opt", "lr", "clipnorm", "bf16",
+                  "lr_decay", "early_stop"):
             v = getattr(args, k)
             if v != getattr(defaults, k) and v not in (None, False):
                 tags.append(f"{k}={v}")
@@ -128,7 +135,11 @@ def main(argv=None) -> int:
     except (KeyError, ValueError):
         valid_it = None
 
-    tx = make_optimizer(args.opt, args.lr, args.clipnorm)
+    tx = make_optimizer(
+        args.opt, args.lr, args.clipnorm,
+        lr_decay=args.lr_decay,
+        decay_steps=train_it.steps_per_epoch if args.lr_decay else 0,
+    )
     import jax.numpy as jnp
 
     trainer = Trainer(
@@ -166,7 +177,8 @@ def main(argv=None) -> int:
         "model": args.model, "params": args.params,
         "batch_size": args.batch_size, "opt": args.opt, "lr": args.lr,
         "clipnorm": args.clipnorm, "num_devices": n_dev,
-        "bf16": args.bf16,
+        "bf16": args.bf16, "lr_decay": args.lr_decay,
+        "early_stop": args.early_stop,
         "num_feats": train_it.num_feats,
         "num_classes": label_parser.num_classes,
     }
@@ -174,7 +186,7 @@ def main(argv=None) -> int:
         trainer, state, train_it, valid_it,
         epochs=args.epochs, seed=args.seed, ckpt=ckpt, hparams=hparams,
         log_dir=args.save, log_every=args.log_every, profile=args.profile,
-        tensorboard=args.tensorboard,
+        tensorboard=args.tensorboard, early_stop_patience=args.early_stop,
     )
     ckpt.close()
     return 0

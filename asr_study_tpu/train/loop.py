@@ -34,17 +34,24 @@ def fit(
     profile: bool = False,
     profile_steps: tuple = (10, 20),
     tensorboard: bool = False,
+    early_stop_patience: int = 0,
 ) -> TrainState:
     """Run ``epochs`` epochs; returns the final state.
 
     ``profile=True`` captures a jax.profiler trace (Perfetto/XProf-readable)
     of steps [profile_steps) into ``<log_dir>/trace`` — the tracing hook the
     reference never had (SURVEY.md §5.1).
+
+    ``early_stop_patience`` > 0 stops training once ``val_loss`` has not
+    improved for that many consecutive epochs (the Keras ``EarlyStopping``
+    idiom; requires ``valid_iter``).
     """
     writer = MetricWriter(log_dir, "train", tensorboard=tensorboard)
     rng = jax.random.PRNGKey(seed)
     step = int(state.step)
     t_last = time.time()
+    best_val = float("inf")
+    stale_epochs = 0
 
     def consume(pending, ep):
         """Fetch a step's (device) metrics one step late, so the NEXT step's
@@ -114,6 +121,21 @@ def fit(
                 metrics={k: v for k, v in scalars.items() if k != "epoch"},
                 hparams=hparams,
             )
+        if early_stop_patience > 0 and "val_loss" in scalars:
+            if scalars["val_loss"] < best_val - 1e-6:
+                best_val = scalars["val_loss"]
+                stale_epochs = 0
+            else:
+                stale_epochs += 1
+                if stale_epochs >= early_stop_patience:
+                    import sys
+
+                    print(
+                        f"early stop: val_loss has not improved for "
+                        f"{stale_epochs} epochs (best {best_val:.4g})",
+                        file=sys.stderr,
+                    )
+                    break
     if ckpt is not None:
         ckpt.wait()
     writer.close()

@@ -41,9 +41,24 @@ def make_optimizer(
     lr: float = 1e-3,
     clipnorm: float = 400.0,
     weight_decay: float = 0.0,
+    lr_decay: float = 0.0,
+    decay_steps: int = 0,
 ) -> optax.GradientTransformation:
     """Optimizer factory mirroring the reference's compile-time choices
-    (Adam + clipnorm was the reference default [ref: train.py])."""
+    (Adam + clipnorm was the reference default [ref: train.py]).
+
+    ``lr_decay`` in (0, 1) with ``decay_steps`` > 0 applies staircase
+    exponential decay: lr *= lr_decay every ``decay_steps`` optimizer
+    steps (pass the data layer's steps_per_epoch for per-epoch decay, the
+    Keras-era LR-schedule idiom).  The schedule is indexed by the
+    optimizer's step count, so ``--resume`` continues it correctly."""
+    if lr_decay and 0.0 < lr_decay < 1.0 and decay_steps > 0:
+        lr = optax.exponential_decay(
+            lr, transition_steps=decay_steps, decay_rate=lr_decay,
+            staircase=True,
+        )
+    elif lr_decay and not (0.0 < lr_decay < 1.0):
+        raise ValueError(f"lr_decay must be in (0, 1), got {lr_decay}")
     opts = {
         "adam": lambda: optax.adam(lr),
         "adamw": lambda: optax.adamw(lr, weight_decay=weight_decay),

@@ -347,3 +347,58 @@ class TestEndToEnd:
         assert 0.0 <= res["ler"]
         assert os.path.exists(tmp_path / "run" / "train_metrics.csv")
         ckpt.close()
+
+
+def test_lr_decay_schedule():
+    """make_optimizer(lr_decay, decay_steps) applies staircase decay:
+    SGD update magnitude halves after decay_steps optimizer steps."""
+    import optax
+
+    from asr_study_tpu.train.trainer import make_optimizer
+
+    # adam's bias-corrected update magnitude for a CONSTANT gradient is
+    # exactly the learning rate, which makes the staircase visible
+    tx = make_optimizer("adam", lr=1.0, clipnorm=0.0,
+                        lr_decay=0.5, decay_steps=2)
+    params = {"w": jnp.zeros((3,))}
+    grads = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    seen = []
+    for _ in range(4):
+        upd, st = tx.update(grads, st, params)
+        seen.append(float(-upd["w"][0]))
+        params = optax.apply_updates(params, upd)
+    assert seen[0] == pytest.approx(1.0, rel=1e-3)
+    assert seen[1] == pytest.approx(1.0, rel=1e-3)
+    assert seen[2] == pytest.approx(0.5, rel=1e-3)
+    assert seen[3] == pytest.approx(0.5, rel=1e-3)
+    with pytest.raises(ValueError, match="lr_decay"):
+        make_optimizer("sgd", lr_decay=1.5, decay_steps=2)
+
+
+def test_early_stopping(tmp_path, capsys):
+    """fit() stops once val_loss stops improving for `patience` epochs
+    (lr=0 makes every epoch's val_loss identical)."""
+    from asr_study_tpu.train.loop import fit
+    from asr_study_tpu.train.trainer import make_optimizer
+
+    h5 = str(tmp_path / "d.h5")
+    label_parser = CharParser()
+    Dummy(str(tmp_path / "corpus"), n=9).to_h5(h5, MFCC(), label_parser)
+    gen = DatasetGenerator(batch_size=3)
+    train_it = gen.flow_from_h5(h5, "train")
+    valid_it = gen.flow_from_h5(h5, "valid")
+
+    model = build_model(
+        "graves2006", {"num_hiddens": 8},
+        num_classes=label_parser.num_classes,
+    )
+    from asr_study_tpu.train.trainer import Trainer
+
+    trainer = Trainer(model, make_optimizer("sgd", lr=0.0, clipnorm=0.0))
+    state = trainer.init_state(jax.random.PRNGKey(0), train_it.num_feats)
+    out = fit(trainer, state, train_it, valid_it, epochs=10,
+              early_stop_patience=2)
+    # epoch 0 sets best; epochs 1-2 are stale -> stop after 3 epochs
+    assert int(out.step) == 3 * train_it.steps_per_epoch
+    assert "early stop" in capsys.readouterr().err
