@@ -72,6 +72,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--keep_ratio", type=float, default=0.6,
                    help="static frame budget for --blank_collapse as a "
                         "fraction of T; overflowing utterances are reported")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="data-parallel eval over N devices (0/1 = single "
+                        "device); batch_size must divide by N")
     p.add_argument("--best", action="store_true",
                    help="use best (val_loss) checkpoint instead of latest")
     p.add_argument("--dump", default=None,
@@ -104,11 +107,40 @@ def main(argv=None) -> int:
     # decode all fuse into a single dispatch — on the remote-TPU backend the
     # ~28 ms per-call floor makes an op-by-op decode loop dispatch-bound
     # (CLAUDE.md), so the whole per-batch pipeline must be one call.
+    import functools
+
     import jax.numpy as jnp
 
     from asr_study_tpu.ops import blank_collapse
 
-    @jax.jit
+    # Data-parallel eval: batch rows sharded over a 1-D `data` mesh,
+    # params replicated — same jit-with-shardings idiom as the Trainer.
+    jit_kw = {}
+    n_dev = args.num_devices or 1
+    if n_dev > 1:
+        avail = len(jax.devices())
+        if n_dev > avail:
+            raise SystemExit(
+                f"--num_devices {n_dev} but only {avail} device(s) available"
+            )
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} not divisible by "
+                f"{n_dev} devices"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from asr_study_tpu.train.trainer import make_mesh
+
+        mesh = make_mesh(n_dev)
+        rep = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P("data"))
+        jit_kw = dict(
+            in_shardings=(rep,) + (row,) * 5,
+            out_shardings=rep,
+        )
+
+    @functools.partial(jax.jit, **jit_kw)
     def eval_batch(params, inputs, input_lengths, labels, label_lengths,
                    weights):
         logits = model.apply(params, inputs, input_lengths, train=False)

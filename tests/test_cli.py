@@ -122,3 +122,47 @@ def test_registry_error_lists_names():
     with pytest.raises(KeyError) as e:
         get_from_module("corpus", "nope")
     assert "lapsbm" in str(e.value)
+
+
+def test_eval_data_parallel_matches_single(tmp_path, capsys):
+    """eval.py --num_devices 8 shards batches over the virtual mesh and
+    must reproduce the single-device metrics exactly."""
+    import jax
+
+    from asr_study_tpu.cli.eval import main as eval_main
+    from asr_study_tpu.data.corpora import Dummy
+    from asr_study_tpu.data.generator import DatasetGenerator
+    from asr_study_tpu.features.audio import MFCC
+    from asr_study_tpu.models.zoo import build_model
+    from asr_study_tpu.text.parser import CharParser
+    from asr_study_tpu.train.checkpoint import CheckpointManager
+    from asr_study_tpu.train.trainer import Trainer, make_optimizer
+
+    h5 = str(tmp_path / "d.h5")
+    lp = CharParser()
+    Dummy(str(tmp_path / "corpus"), n=8).to_h5(h5, MFCC(), lp)
+    it = DatasetGenerator(batch_size=8).flow_from_h5(h5, "test")
+    model = build_model(
+        "graves2006", {"num_hiddens": 8}, num_classes=lp.num_classes
+    )
+    trainer = Trainer(model, make_optimizer())
+    state = trainer.init_state(jax.random.PRNGKey(0), it.num_feats)
+    ckpt = CheckpointManager(str(tmp_path / "run"))
+    ckpt.save(state, metrics={"val_loss": 1.0}, hparams={
+        "model": "graves2006", "params": "num_hiddens=8",
+        "num_feats": it.num_feats, "num_classes": lp.num_classes,
+    })
+    ckpt.wait()
+    ckpt.close()
+
+    argv = ["--dataset", h5, "--split", "test",
+            "--save", str(tmp_path / "run"), "--batch_size", "8",
+            "--platform", "cpu"]
+    assert eval_main(argv) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert eval_main(argv + ["--num_devices", "8"]) == 0
+    out8 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out8["num_utts"] == out1["num_utts"]
+    assert out8["cer"] == pytest.approx(out1["cer"], abs=1e-9)
+    assert out8["wer"] == pytest.approx(out1["wer"], abs=1e-9)
+    assert out8["loss"] == pytest.approx(out1["loss"], rel=1e-5)
