@@ -19,7 +19,6 @@ import numpy as np
 from asr_study_tpu.data.generator import DatasetGenerator
 from asr_study_tpu.models.zoo import build_model
 from asr_study_tpu.ops import beam_search_decode, greedy_decode
-from asr_study_tpu.ops.ctc import ctc_loss_mean
 from asr_study_tpu.ops.metrics import cer, wer
 from asr_study_tpu.text.parser import CharParser
 from asr_study_tpu.train.checkpoint import CheckpointManager
@@ -27,7 +26,16 @@ from asr_study_tpu.train.trainer import Trainer, make_optimizer
 
 
 def load_run(save_dir: str, label_parser: CharParser, best: bool = True):
-    """Rebuild (model, state) from a training run dir's meta + checkpoint."""
+    """Rebuild (model, state) from a training run dir's meta + checkpoint.
+
+    Restores the model PARAMS only (``restore_params``): eval/predict
+    never use the optimizer state, and rebuilding the exact optimizer the
+    run trained with (schedules, decay flags, ...) just to satisfy the
+    checkpoint's opt_state tree structure made every new optimizer option
+    an eval-crash hazard — a run trained with ``--lr_decay`` was
+    un-evaluable until this decoupling."""
+    import dataclasses
+
     meta_path = os.path.join(save_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -36,18 +44,14 @@ def load_run(save_dir: str, label_parser: CharParser, best: bool = True):
         hp.get("model", "graves2006"), hp.get("params"),
         num_classes=hp.get("num_classes", label_parser.num_classes),
     )
-    tx = make_optimizer(
-        hp.get("opt", "adam"), hp.get("lr", 1e-3), hp.get("clipnorm", 400.0)
-    )
-    trainer = Trainer(model, tx)
+    trainer = Trainer(model, make_optimizer())
     state = trainer.init_state(
         jax.random.PRNGKey(0), int(hp.get("num_feats", 39))
     )
     ckpt = CheckpointManager(save_dir)
-    try:
-        state = ckpt.restore(state, best=best)
-    except FileNotFoundError:
-        state = ckpt.restore(state, best=False)
+    state = dataclasses.replace(
+        state, params=ckpt.restore_params(state.params, best=best)
+    )
     ckpt.close()
     return model, state, hp
 
@@ -107,16 +111,18 @@ def main(argv=None) -> int:
     # decode all fuse into a single dispatch — on the remote-TPU backend the
     # ~28 ms per-call floor makes an op-by-op decode loop dispatch-bound
     # (CLAUDE.md), so the whole per-batch pipeline must be one call.
-    import functools
-
     import jax.numpy as jnp
 
     from asr_study_tpu.ops import blank_collapse
+    from asr_study_tpu.ops.ctc import ctc_loss
 
-    # Data-parallel eval: batch rows sharded over a 1-D `data` mesh,
-    # params replicated — same jit-with-shardings idiom as the Trainer.
-    jit_kw = {}
+    # Data-parallel eval: shard_map over a 1-D `data` mesh (params
+    # replicated, batch rows sharded, explicit psums) — the same idiom as
+    # the Trainer.  NOT jit-with-shardings: the Pallas recurrence kernels
+    # (the default TPU backend) have no GSPMD partitioning rule, so each
+    # device must trace its own local-shape program.
     n_dev = args.num_devices or 1
+    mesh = None
     if n_dev > 1:
         avail = len(jax.devices())
         if n_dev > avail:
@@ -128,26 +134,23 @@ def main(argv=None) -> int:
                 f"--batch_size {args.batch_size} not divisible by "
                 f"{n_dev} devices"
             )
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from asr_study_tpu.train.trainer import make_mesh
 
         mesh = make_mesh(n_dev)
-        rep = NamedSharding(mesh, P())
-        row = NamedSharding(mesh, P("data"))
-        jit_kw = dict(
-            in_shardings=(rep,) + (row,) * 5,
-            out_shardings=rep,
-        )
 
-    @functools.partial(jax.jit, **jit_kw)
-    def eval_batch(params, inputs, input_lengths, labels, label_lengths,
+    def _eval_core(params, inputs, input_lengths, labels, label_lengths,
                    weights):
         logits = model.apply(params, inputs, input_lengths, train=False)
-        loss = ctc_loss_mean(
+        per_seq = ctc_loss(
             logits, input_lengths, labels, label_lengths,
-            blank_id=model.blank_id, weights=weights,
+            blank_id=model.blank_id,
         )
+        loss_sum = jnp.sum(per_seq * weights)
+        w_sum = jnp.sum(weights)
+        if mesh is not None:
+            loss_sum = jax.lax.psum(loss_sum, "data")
+            w_sum = jax.lax.psum(w_sum, "data")
+        loss = loss_sum / jnp.maximum(w_sum, 1.0)
         dropped = jnp.zeros_like(input_lengths)
         if args.beam_width > 0:
             dec_logits, dec_lengths = logits, input_lengths
@@ -168,12 +171,29 @@ def main(argv=None) -> int:
             )
         return loss, dec, lens, dropped
 
+    params = state.params
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batched, repl = P("data"), P()
+        eval_batch = jax.jit(jax.shard_map(
+            _eval_core, mesh=mesh,
+            in_specs=(repl,) + (batched,) * 5,
+            out_specs=(repl, batched, batched, batched),
+            check_vma=False,
+        ))
+        # checkpoint restore committed the params to one device;
+        # replicate them onto the mesh (as Trainer.init_state does)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        eval_batch = jax.jit(_eval_core)
+
     hyps, refs = [], []
     tot_loss, tot_n = 0.0, 0
     overflow_utts = 0
     for b in it.epoch():
         loss, dec, lens, dropped = eval_batch(
-            state.params, b.inputs, b.input_lengths, b.labels,
+            params, b.inputs, b.input_lengths, b.labels,
             b.label_lengths, b.weights,
         )
         n = int(b.weights.sum())

@@ -134,6 +134,11 @@ def main(argv=None) -> int:
         )
     except (KeyError, ValueError):
         valid_it = None
+    if args.early_stop and valid_it is None:
+        raise SystemExit(
+            "--early_stop requires a 'valid' split in the dataset "
+            "(val_loss drives the stopping decision)"
+        )
 
     tx = make_optimizer(
         args.opt, args.lr, args.clipnorm,

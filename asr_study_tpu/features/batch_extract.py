@@ -124,14 +124,28 @@ class DeviceFeatureExtractor:
                 feats, feat_lens = self._serve(self.batch, n_pad)(flat)
             except Exception as e:
                 # Fall back to the XLA device path ONLY if the very first
-                # serve call fails (Mosaic rejecting this config at
-                # compile time — before anything was extracted, so one
+                # serve call fails (before anything was extracted, so one
                 # implementation serves the whole corpus).  Once any call
-                # has succeeded, errors re-raise as themselves: a bare
-                # fallback here would mask transient TPU failures and
-                # silently mix eps-level-different feature
-                # implementations within one dataset.
+                # has succeeded, errors fail LOUDLY: a bare fallback here
+                # would mask transient TPU failures and silently mix
+                # eps-level-different feature implementations within one
+                # dataset.  Each (rows, n_pad) bucket is a fresh compile,
+                # so a LATER bucket can still be rejected — that raises
+                # too, with the escape hatch named, rather than switching
+                # implementations mid-build.
                 if self._probed or not self._use_pallas:
+                    if self._probed and self._use_pallas:
+                        raise RuntimeError(
+                            f"featurizer failed on a later bucket shape "
+                            f"(rows={self.batch}, n_pad={n_pad}) after "
+                            "earlier buckets succeeded; not falling back "
+                            "mid-build (it would mix feature "
+                            "implementations in one dataset). If this is "
+                            "a compile-time rejection, rebuild with the "
+                            "XLA path: use_pallas=False "
+                            "(make_dataset --device: --input_params "
+                            '\'{"use_pallas": false}\')'
+                        ) from e
                     raise
                 import sys
 

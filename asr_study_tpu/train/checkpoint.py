@@ -170,8 +170,19 @@ class CheckpointManager:
             saved = mgr.restore(step)["params"]
         finally:
             absl_log.setLevel(prev_level)
-        tgt_leaves, tgt_td = jax.tree_util.tree_flatten(params)
-        leaves = jax.tree_util.tree_leaves(saved)
+        def _paths(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return (
+                ["/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path
+                ) for path, _ in flat],
+                [leaf for _, leaf in flat],
+            )
+
+        got_paths, leaves = _paths(saved)
+        want_paths, tgt_leaves = _paths(params)
+        _, tgt_td = jax.tree_util.tree_flatten(params)
         if len(leaves) != len(tgt_leaves):
             raise ValueError(
                 f"checkpoint under {self.directory} has {len(leaves)} "
@@ -179,10 +190,21 @@ class CheckpointManager:
                 "different architecture?"
             )
         out = []
-        for got, want in zip(leaves, tgt_leaves):
+        for gp, got, wp, want in zip(
+            got_paths, leaves, want_paths, tgt_leaves
+        ):
+            # key paths must match too: same-count same-shape trees with
+            # different keys would otherwise silently load weights into
+            # the wrong parameters
+            if gp != wp:
+                raise ValueError(
+                    f"param tree mismatch restoring from "
+                    f"{self.directory}: checkpoint has {gp!r} where the "
+                    f"model expects {wp!r} — different architecture?"
+                )
             if tuple(got.shape) != tuple(want.shape):
                 raise ValueError(
-                    f"param shape mismatch restoring from "
+                    f"param shape mismatch restoring {wp!r} from "
                     f"{self.directory}: checkpoint {tuple(got.shape)} vs "
                     f"model {tuple(want.shape)}"
                 )

@@ -46,6 +46,11 @@ def fit(
     improved for that many consecutive epochs (the Keras ``EarlyStopping``
     idiom; requires ``valid_iter``).
     """
+    if early_stop_patience > 0 and valid_iter is None:
+        raise ValueError(
+            "early_stop_patience requires a validation split (val_loss "
+            "drives the stopping decision) — none was provided"
+        )
     writer = MetricWriter(log_dir, "train", tensorboard=tensorboard)
     rng = jax.random.PRNGKey(seed)
     step = int(state.step)

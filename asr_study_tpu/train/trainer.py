@@ -52,13 +52,19 @@ def make_optimizer(
     steps (pass the data layer's steps_per_epoch for per-epoch decay, the
     Keras-era LR-schedule idiom).  The schedule is indexed by the
     optimizer's step count, so ``--resume`` continues it correctly."""
-    if lr_decay and 0.0 < lr_decay < 1.0 and decay_steps > 0:
+    if lr_decay:
+        if not 0.0 < lr_decay < 1.0:
+            raise ValueError(f"lr_decay must be in (0, 1), got {lr_decay}")
+        if decay_steps <= 0:
+            raise ValueError(
+                f"lr_decay={lr_decay} needs decay_steps > 0 "
+                f"(got {decay_steps}) — silently ignoring the decay "
+                "would train at constant lr"
+            )
         lr = optax.exponential_decay(
             lr, transition_steps=decay_steps, decay_rate=lr_decay,
             staircase=True,
         )
-    elif lr_decay and not (0.0 < lr_decay < 1.0):
-        raise ValueError(f"lr_decay must be in (0, 1), got {lr_decay}")
     opts = {
         "adam": lambda: optax.adam(lr),
         "adamw": lambda: optax.adamw(lr, weight_decay=weight_decay),

@@ -124,9 +124,13 @@ def test_registry_error_lists_names():
     assert "lapsbm" in str(e.value)
 
 
-def test_eval_data_parallel_matches_single(tmp_path, capsys):
-    """eval.py --num_devices 8 shards batches over the virtual mesh and
-    must reproduce the single-device metrics exactly."""
+def test_eval_data_parallel_matches_single(tmp_path, capsys, monkeypatch):
+    """eval.py --num_devices 8 shard_maps batches over the virtual mesh
+    and must reproduce the single-device metrics exactly — including with
+    the Pallas recurrence backend engaged (interpret mode), since the
+    kernels have no GSPMD rule and only work under shard_map.  The run is
+    saved with a schedule-bearing optimizer (lr_decay): regression for
+    load_run crashing on any opt_state structure it didn't rebuild."""
     import jax
 
     from asr_study_tpu.cli.eval import main as eval_main
@@ -145,12 +149,16 @@ def test_eval_data_parallel_matches_single(tmp_path, capsys):
     model = build_model(
         "graves2006", {"num_hiddens": 8}, num_classes=lp.num_classes
     )
-    trainer = Trainer(model, make_optimizer())
+    trainer = Trainer(
+        model, make_optimizer("adam", 1e-3, 400.0,
+                              lr_decay=0.9, decay_steps=5)
+    )
     state = trainer.init_state(jax.random.PRNGKey(0), it.num_feats)
     ckpt = CheckpointManager(str(tmp_path / "run"))
     ckpt.save(state, metrics={"val_loss": 1.0}, hparams={
         "model": "graves2006", "params": "num_hiddens=8",
         "num_feats": it.num_feats, "num_classes": lp.num_classes,
+        "lr_decay": 0.9,
     })
     ckpt.wait()
     ckpt.close()
@@ -166,3 +174,11 @@ def test_eval_data_parallel_matches_single(tmp_path, capsys):
     assert out8["cer"] == pytest.approx(out1["cer"], abs=1e-9)
     assert out8["wer"] == pytest.approx(out1["wer"], abs=1e-9)
     assert out8["loss"] == pytest.approx(out1["loss"], rel=1e-5)
+
+    from asr_study_tpu.models import rnn as rnn_mod
+
+    monkeypatch.setattr(rnn_mod, "RNN_BACKEND", "pallas")
+    assert eval_main(argv + ["--num_devices", "8"]) == 0
+    outp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outp["cer"] == pytest.approx(out1["cer"], abs=1e-6)
+    assert outp["loss"] == pytest.approx(out1["loss"], rel=1e-4)
