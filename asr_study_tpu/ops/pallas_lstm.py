@@ -198,7 +198,15 @@ def _vmem_budget() -> int:
 
     env = os.environ.get("ASR_VMEM_BUDGET_MB")
     if env:
-        return int(float(env) * 2**20)
+        try:
+            mb = float(env)
+        except ValueError:
+            raise ValueError(
+                f"ASR_VMEM_BUDGET_MB={env!r} is not a number"
+            ) from None
+        if mb <= 0:
+            raise ValueError(f"ASR_VMEM_BUDGET_MB={env!r} must be > 0")
+        return int(mb * 2**20)
     try:
         kind = jax.local_devices()[0].device_kind.lower()
     except Exception:

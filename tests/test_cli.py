@@ -182,3 +182,12 @@ def test_eval_data_parallel_matches_single(tmp_path, capsys, monkeypatch):
     outp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert outp["cer"] == pytest.approx(out1["cer"], abs=1e-6)
     assert outp["loss"] == pytest.approx(out1["loss"], rel=1e-4)
+
+    # beam decode under shard_map too (per-row vmap inside the shard)
+    monkeypatch.setattr(rnn_mod, "RNN_BACKEND", "auto")
+    assert eval_main(argv + ["--beam_width", "4"]) == 0
+    outb1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert eval_main(argv + ["--beam_width", "4", "--num_devices", "8"]) == 0
+    outb8 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outb8["cer"] == pytest.approx(outb1["cer"], abs=1e-9)
+    assert outb8["loss"] == pytest.approx(outb1["loss"], rel=1e-5)
