@@ -307,5 +307,37 @@ def main() -> int:
     return 0
 
 
+def _survive_tpu_outage():
+    """Wait out a wedged/recovering remote TPU instead of failing the run.
+
+    Kill-induced wedges leave the backend erroring with bare UNAVAILABLE
+    for tens of minutes to hours (observed 2026-08-17); each in-process
+    init attempt is sticky, so on failure sleep and RE-EXEC this script
+    (fresh process -> fresh init), bounded by a retry counter carried in
+    the environment.  No processes are killed — killing TPU processes is
+    what causes these wedges in the first place (CLAUDE.md).
+    """
+    import os
+    import time
+
+    try:
+        import jax
+
+        jax.devices()
+        return
+    except RuntimeError as e:
+        n = int(os.environ.get("ASR_BENCH_TPU_RETRY", "0"))
+        if n >= 6:
+            raise
+        print(
+            f"TPU backend unavailable ({e}); retry {n + 1}/6 in 120 s",
+            file=sys.stderr,
+        )
+        time.sleep(120.0)
+        os.environ["ASR_BENCH_TPU_RETRY"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
+    _survive_tpu_outage()
     sys.exit(main())
