@@ -234,6 +234,56 @@ class TestCheckpoint:
         assert meta["history"][0]["val_loss"] == 1.5
         mgr.close()
 
+    def test_resume_trajectory_matches_uninterrupted(self, tmp_path):
+        """Crash-resume parity: 3 steps -> checkpoint -> (simulated crash)
+        restore in a FRESH trainer -> 3 more steps must land bit-identical
+        to 6 uninterrupted steps.  This is the guarantee behind
+        ``train.py --resume auto`` (SURVEY.md §5.3/§5.4): recovery replays
+        the exact trajectory, not merely a nearby one."""
+        def steps(trainer, state, n, key):
+            b = _toy_batch(jax.random.PRNGKey(1))
+            loss = None
+            for _ in range(n):
+                state, m = trainer.train_step(
+                    state, b["inputs"], b["input_lengths"], b["labels"],
+                    b["label_lengths"], b["weights"], key,
+                )
+                loss = float(m["loss"])
+            return state, loss
+
+        key = jax.random.PRNGKey(2)
+        _, trainer_a = _toy_trainer()
+        straight = trainer_a.init_state(jax.random.PRNGKey(0), input_dim=5)
+        straight, loss_straight = steps(trainer_a, straight, 6, key)
+
+        _, trainer_b = _toy_trainer()
+        part = trainer_b.init_state(jax.random.PRNGKey(0), input_dim=5)
+        part, _ = steps(trainer_b, part, 3, key)
+        mgr = CheckpointManager(str(tmp_path / "run"))
+        mgr.save(part, metrics={"val_loss": 9.9})
+        mgr.wait()
+        mgr.close()
+
+        # "crash": everything below uses fresh objects + the checkpoint
+        _, trainer_c = _toy_trainer()
+        blank = trainer_c.init_state(jax.random.PRNGKey(7), input_dim=5)
+        resumed = CheckpointManager(str(tmp_path / "run")).restore(blank)
+        assert int(resumed.step) == 3
+        resumed, loss_resumed = steps(trainer_c, resumed, 3, key)
+
+        assert int(resumed.step) == int(straight.step) == 6
+        assert loss_resumed == loss_straight
+        for a, c in zip(
+            jax.tree_util.tree_leaves(straight.params),
+            jax.tree_util.tree_leaves(resumed.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        for a, c in zip(
+            jax.tree_util.tree_leaves(straight.opt_state),
+            jax.tree_util.tree_leaves(resumed.opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
     def test_restore_params_warm_start(self, tmp_path):
         """restore_params loads ONLY the weights (for --init_from): a
         fresh optimizer/step, and it works regardless of the checkpoint's
