@@ -307,37 +307,59 @@ def main() -> int:
     return 0
 
 
+# Error-status words a kill-induced TPU wedge produces.  Init failures
+# during a wedge say UNAVAILABLE; a wedge hit AFTER a successful init
+# fails every op with a bare "INVALID_ARGUMENT: TPU backend error"
+# (both observed 2026-08-17).  Genuine program errors (RESOURCE_EXHAUSTED
+# compile OOMs, shape errors, ...) must NOT be retried.
+_WEDGE_SIGNS = (
+    "UNAVAILABLE", "INVALID_ARGUMENT", "DEADLINE_EXCEEDED",
+    "backend error", "Unable to initialize backend",
+)
+
+
+def _sleep_and_reexec(e: BaseException) -> None:
+    """Sleep and RE-EXEC this script (fresh process -> fresh backend init),
+    bounded by a retry counter carried in the environment.  No processes
+    are killed — killing TPU processes is what causes these wedges in the
+    first place (CLAUDE.md)."""
+    import time
+
+    n = int(os.environ.get("ASR_BENCH_TPU_RETRY", "0"))
+    if n >= 6:
+        raise e
+    print(
+        f"TPU backend unavailable ({e}); retry {n + 1}/6 in 120 s",
+        file=sys.stderr,
+    )
+    time.sleep(120.0)
+    os.environ["ASR_BENCH_TPU_RETRY"] = str(n + 1)
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def _survive_tpu_outage():
     """Wait out a wedged/recovering remote TPU instead of failing the run.
 
-    Kill-induced wedges leave the backend erroring with bare UNAVAILABLE
-    for tens of minutes to hours (observed 2026-08-17); each in-process
-    init attempt is sticky, so on failure sleep and RE-EXEC this script
-    (fresh process -> fresh init), bounded by a retry counter carried in
-    the environment.  No processes are killed — killing TPU processes is
-    what causes these wedges in the first place (CLAUDE.md).
+    Kill-induced wedges leave the backend erroring for tens of minutes to
+    hours (observed 2026-08-17); each in-process init attempt is sticky,
+    so failures are retried via re-exec (`_sleep_and_reexec`).
     """
-    import os
-    import time
-
     try:
         import jax
 
         jax.devices()
-        return
     except RuntimeError as e:
-        n = int(os.environ.get("ASR_BENCH_TPU_RETRY", "0"))
-        if n >= 6:
-            raise
-        print(
-            f"TPU backend unavailable ({e}); retry {n + 1}/6 in 120 s",
-            file=sys.stderr,
-        )
-        time.sleep(120.0)
-        os.environ["ASR_BENCH_TPU_RETRY"] = str(n + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        _sleep_and_reexec(e)
 
 
 if __name__ == "__main__":
     _survive_tpu_outage()
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except RuntimeError as e:
+        # a wedge can also strike AFTER init: every op fails with a bare
+        # backend error.  Retry those the same way; re-raise real bugs.
+        if any(s in str(e) for s in _WEDGE_SIGNS):
+            _sleep_and_reexec(e)
+        raise
