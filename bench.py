@@ -66,19 +66,31 @@ from asr_study_tpu.utils.platform import (
     setup_compilation_cache,
 )
 
+# ASR_BENCH_SMOKE=1: CPU smoke-test mode — tiny shapes, forced-CPU platform,
+# no congestion-retry sleeps.  Exercises the FULL bench code path (wire
+# pack/unpack, featurizer fallback, jitted pipeline, on-chip scan loop,
+# JSON output) without needing the exclusive TPU chip, so the test suite
+# can catch bench.py regressions before the driver's round-end run.  The
+# numbers it prints are meaningless; the driver never sets it.
+SMOKE = os.environ.get("ASR_BENCH_SMOKE", "") not in ("", "0")
+if SMOKE:
+    from asr_study_tpu.utils.platform import select_platform
+
+    select_platform("cpu")
+
 SR = 16000
 # Wire encoding for the H2D audio transfer: pcm16 (default, lossless) or
 # mulaw (8-bit companded, HALF the wire bytes — data/wire.py).  The
 # headline stays pcm16; set ASR_BENCH_WIRE_CODEC=mulaw to measure the
 # bandwidth-bound serving configuration.
 WIRE_CODEC = os.environ.get("ASR_BENCH_WIRE_CODEC", "pcm16")
-BATCH = 32
-N_BATCHES = 8
-ROUNDS = 7
-SECONDS = (3.0, 8.0)          # LapsBM-like utterance durations
+BATCH = 4 if SMOKE else 32
+N_BATCHES = 2 if SMOKE else 8
+ROUNDS = 2 if SMOKE else 7
+SECONDS = (0.5, 1.0) if SMOKE else (3.0, 8.0)  # LapsBM-like durations
 TARGET_RTF = 50.0
-HIDDEN = 256
-LAYERS = 2
+HIDDEN = 64 if SMOKE else 256
+LAYERS = 1 if SMOKE else 2
 NUM_CLASSES = 27
 
 
@@ -172,38 +184,50 @@ def main() -> int:
     )
     params = model.init(jax.random.PRNGKey(0), featurizer.num_feats)
 
-    def _pipeline(params, flat_i16):
-        wavs_f, wav_lengths = wire.unpack_audio(
-            flat_i16, BATCH, n_pad, codec=WIRE_CODEC
-        )
-        feats, feat_lengths = featurizer._transform(wavs_f, wav_lengths)
-        logits = model.apply(params, feats, feat_lengths, train=False)
-        return greedy_decode(logits, feat_lengths, blank_id=model.blank_id)
-
-    infer = jax.jit(_pipeline)
-
     # Repeat the batch set inside the program: one dispatch+fetch costs a
     # ~28 ms tunnel round trip, which divided over only 8 batches added a
     # ~3.5 ms/batch bias to the r1/r2 on-chip numbers (the bias was
     # consistent, so A/Bs were fair — but absolute on-chip time was ~1.8x
     # overstated).  32 scan iterations amortize it to <1 ms/batch.
-    CHIP_REPS = 4
+    CHIP_REPS = 1 if SMOKE else 4
 
-    @jax.jit
-    def chip_loop(params, flat_stack):
-        # All N batches in ONE program: a lax.scan over the stacked wire
-        # buffers, reduced to a checksum.  One dispatch + one scalar fetch,
-        # so neither the per-call round trip nor the output transfer is
-        # charged to the chip.  The batches hold distinct audio, so XLA
-        # cannot hoist the body (verified: an invariant body gets CSE'd
-        # and reads 4x faster than real work; repeating the xs rows CHIP_REPS
-        # times does not enable hoisting — a scan body executes per row).
-        def body(acc, flat):
-            d, dl = _pipeline(params, flat)
-            return acc + d.sum() + dl.sum(), None
-        reps = jnp.concatenate([flat_stack] * CHIP_REPS)
-        acc, _ = jax.lax.scan(body, jnp.int32(0), reps)
-        return acc
+    def build_fns(featurizer):
+        """(re)build the jitted pipeline for a featurizer.  The featurizer
+        swap on fallback MUST rebuild these: jit caches the traced jaxpr
+        (Pallas failures surface at LOWERING, after a successful trace),
+        so clearing the executable cache alone re-fails with the stale
+        pallas_call still embedded."""
+
+        def _pipeline(params, flat_i16):
+            wavs_f, wav_lengths = wire.unpack_audio(
+                flat_i16, BATCH, n_pad, codec=WIRE_CODEC
+            )
+            feats, feat_lengths = featurizer._transform(wavs_f, wav_lengths)
+            logits = model.apply(params, feats, feat_lengths, train=False)
+            return greedy_decode(
+                logits, feat_lengths, blank_id=model.blank_id
+            )
+
+        @jax.jit
+        def chip_loop(params, flat_stack):
+            # All N batches in ONE program: a lax.scan over the stacked
+            # wire buffers, reduced to a checksum.  One dispatch + one
+            # scalar fetch, so neither the per-call round trip nor the
+            # output transfer is charged to the chip.  The batches hold
+            # distinct audio, so XLA cannot hoist the body (verified: an
+            # invariant body gets CSE'd and reads 4x faster than real
+            # work; repeating the xs rows CHIP_REPS times does not enable
+            # hoisting — a scan body executes per row).
+            def body(acc, flat):
+                d, dl = _pipeline(params, flat)
+                return acc + d.sum() + dl.sum(), None
+            reps = jnp.concatenate([flat_stack] * CHIP_REPS)
+            acc, _ = jax.lax.scan(body, jnp.int32(0), reps)
+            return acc
+
+        return jax.jit(_pipeline), chip_loop
+
+    infer, chip_loop = build_fns(featurizer)
 
     def run(flat):
         return infer(params, jnp.asarray(flat))
@@ -230,7 +254,7 @@ def main() -> int:
 
             featurizer = DeviceFeaturizer(kind="mfcc", d=True, dd=True)
             feat_kind = "xla"
-            infer._clear_cache()
+            infer, chip_loop = build_fns(featurizer)
             fetch([run(*batches[0])])
         else:
             raise
@@ -257,7 +281,10 @@ def main() -> int:
     # 1.46x-floor congested set (937x vs the 1348x best) pass untried.
     # Six sets with growing sleeps spans ~5.7 min of patience, still
     # bounded for the driver.
-    for sleep_s in (10.0, 30.0, 60.0, 120.0, 120.0, 0.0):
+    # (smoke mode: CPU walls sit far above the wire-floor model by
+    # construction, so the congestion retry must not fire there)
+    sleeps = (0.0,) if SMOKE else (10.0, 30.0, 60.0, 120.0, 120.0, 0.0)
+    for sleep_s in sleeps:
         for _ in range(ROUNDS):
             t0 = time.perf_counter()
             outs = [run(*b) for b in batches]
@@ -303,6 +330,7 @@ def main() -> int:
         "rounds": ROUNDS,
         "batches_in_flight": N_BATCHES,
         "wire_codec": WIRE_CODEC,
+        **({"smoke": True} if SMOKE else {}),
     }))
     return 0
 

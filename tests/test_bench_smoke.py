@@ -1,0 +1,41 @@
+"""bench.py smoke test: the driver-critical benchmark entry must run its
+FULL code path (wire pack/unpack, featurizer fallback, jitted pipeline,
+on-chip scan loop, congestion logic, JSON output) without the exclusive
+TPU chip.  ASR_BENCH_SMOKE=1 forces the CPU platform and tiny shapes.
+
+Regression this guards: the featurizer fallback used to clear the jit
+executable cache and retry — but jit caches the traced JAXPR (Pallas
+failures surface at lowering, after a successful trace), so the retry
+re-failed with the stale pallas_call still embedded and bench.py crashed
+on any host where Pallas lowering fails.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_smoke_runs_and_prints_json():
+    env = dict(os.environ, ASR_BENCH_SMOKE="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "rtf_feature_blstm_greedy_lapsbm_like"
+    assert rec["smoke"] is True
+    assert rec["value"] > 0
+    assert rec["onchip_ms_per_batch"] > 0
+    assert rec["flops_per_batch"] > 0
+    assert rec["vs_baseline"] == pytest.approx(rec["value"] / 50.0, rel=1e-3)
+    # on CPU the Pallas featurizer cannot lower; reaching "xla" proves the
+    # fallback rebuilt the jitted pipeline instead of retrying a stale trace
+    assert rec["featurizer"] == "xla"
