@@ -32,7 +32,14 @@ def main() -> int:
     ap.add_argument("--collapse", type=float, default=0.0,
                     help="blank-collapse threshold (0 = off)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — lets the "
+                         "benchmark run without the exclusive TPU chip")
     args = ap.parse_args()
+    if args.platform:
+        from asr_study_tpu.utils.platform import select_platform
+
+        select_platform(args.platform)
 
     rng = np.random.RandomState(0)
     # speech-like emissions: ~65% of frames blank-dominated (a trained CTC

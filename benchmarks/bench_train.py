@@ -37,7 +37,14 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--model", default="deep_blstm")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — lets the "
+                         "benchmark run without the exclusive TPU chip")
     args = ap.parse_args()
+    if args.platform:
+        from asr_study_tpu.utils.platform import select_platform
+
+        select_platform(args.platform)
 
     model = build_model(
         args.model,

@@ -15,6 +15,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -39,3 +40,33 @@ def test_bench_smoke_runs_and_prints_json():
     # on CPU the Pallas featurizer cannot lower; reaching "xla" proves the
     # fallback rebuilt the jitted pipeline instead of retrying a stale trace
     assert rec["featurizer"] == "xla"
+
+
+@pytest.mark.slow
+def test_bench_train_runs_on_cpu():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_train.py"),
+         "--platform", "cpu", "--batch", "2", "--time", "32",
+         "--labels", "4", "--hidden", "8", "--layers", "1", "--steps", "3"],
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "train_step_throughput"
+    assert rec["steps_per_s"] > 0
+    assert np.isfinite(rec["loss"])
+
+
+@pytest.mark.slow
+def test_bench_decode_runs_on_cpu():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_decode.py"),
+         "--platform", "cpu", "--batch", "2", "--time", "16",
+         "--vocab", "6", "--widths", "2", "--iters", "1"],
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "decode_rtf"
+    assert rec["greedy"] > 0
+    assert rec["beam2"] > 0
