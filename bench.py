@@ -354,10 +354,11 @@ def _sleep_and_reexec(e: BaseException) -> None:
     import time
 
     n = int(os.environ.get("ASR_BENCH_TPU_RETRY", "0"))
-    if n >= 6:
+    max_n = int(os.environ.get("ASR_BENCH_TPU_RETRIES", "6"))
+    if n >= max_n:
         raise e
     print(
-        f"TPU backend unavailable ({e}); retry {n + 1}/6 in 120 s",
+        f"TPU backend unavailable ({e}); retry {n + 1}/{max_n} in 120 s",
         file=sys.stderr,
     )
     time.sleep(120.0)
