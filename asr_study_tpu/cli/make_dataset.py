@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="utterances per device batch with --device")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
+    p.add_argument("--layout", default="vlen", choices=("vlen", "packed"),
+                   help="HDF5 feature layout: 'vlen' (reference-compatible, "
+                        "one vlen row per utterance) or 'packed' (one "
+                        "contiguous duration-sorted [sum_T, F] matrix + "
+                        "offsets — several-fold faster larger-than-memory "
+                        "streaming; see data/dataset_parser.py)")
     return p
 
 
@@ -62,7 +68,8 @@ def main(argv=None) -> int:
     if args.to_json:
         n = corpus.to_json(args.to_json)
         print(f"wrote {n} utterances to {args.to_json}")
-    counts = corpus.to_h5(args.output, input_parser, label_parser)
+    counts = corpus.to_h5(args.output, input_parser, label_parser,
+                          layout=args.layout)
     print(f"wrote {counts} utterances to {args.output}")
     return 0
 

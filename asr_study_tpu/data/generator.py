@@ -193,16 +193,18 @@ class DatasetIterator:
         l = _round_up(max(len(x) for x in labs), gen.label_multiple)
         f_dim = self.num_feats
 
-        inputs = np.zeros((b, t, f_dim), dtype=np.float32)
         input_lengths = np.zeros((b,), dtype=np.int32)
         labels = np.zeros((b, l), dtype=np.int32)
         label_lengths = np.zeros((b,), dtype=np.int32)
         weights = np.zeros((b,), dtype=np.float32)
         uids = np.full((b,), -1, dtype=np.int32)
         if self._lazy:
-            # one ascending-index disk read for the whole batch + C++ pack
+            # one ascending-index disk read for the whole batch + C++ pack;
+            # pack_into fully defines the buffer (rows, tails, padding)
+            inputs = np.empty((b, t, f_dim), dtype=np.float32)
             self.inputs.pack_into(idx, inputs)
         else:
+            inputs = np.zeros((b, t, f_dim), dtype=np.float32)
             for j, i in enumerate(idx):
                 x = self.inputs[i]
                 inputs[j, : x.shape[0]] = x

@@ -50,6 +50,12 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
+        if not hasattr(lib, "asr_pack_batch_full") and _build():
+            # stale library predating newer entry points: rebuilt — reload
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.asr_read_wav.restype = ctypes.c_long
         lib.asr_read_wav.argtypes = [
             ctypes.c_char_p,
@@ -65,6 +71,16 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        if hasattr(lib, "asr_pack_batch_full"):
+            lib.asr_pack_batch_full.restype = None
+            lib.asr_pack_batch_full.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
         lib.asr_levenshtein.restype = ctypes.c_long
         lib.asr_levenshtein.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
@@ -123,6 +139,32 @@ def pack_batch(rows, t_pad: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def pack_batch_into(src: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
+                    out: np.ndarray) -> bool:
+    """Pack rows straight from a flat [sum_T, F] float32 buffer into the
+    caller's [B, t_pad, F] buffer — row i of the batch spans
+    ``src[offsets[i]:offsets[i]+lens[i]]``.  Fully defines ``out`` (padded
+    tails and rows beyond len(offsets) are zeroed), so ``out`` may be
+    uninitialized.  Returns False when the native library (or the symbol,
+    on a stale build) is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asr_pack_batch_full"):
+        return False
+    if not (out.flags.c_contiguous and out.dtype == np.float32):
+        return False
+    src = np.ascontiguousarray(src, np.float32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    lib.asr_pack_batch_full(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets), out.shape[0], out.shape[1], out.shape[2],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return True
 
 
 def levenshtein(a, b) -> Optional[int]:

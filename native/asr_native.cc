@@ -124,6 +124,29 @@ void asr_pack_batch(const float* src, const int64_t* offsets,
   }
 }
 
+// Like asr_pack_batch, but fully defines `out` [out_rows, t_pad, feat_dim]:
+// each row's padded tail and every row beyond n_rows are zeroed, so the
+// caller can pass an uninitialized buffer (saves a full-buffer zero + copy
+// per batch on the streaming path).
+void asr_pack_batch_full(const float* src, const int64_t* offsets,
+                         const int64_t* lens, int64_t n_rows,
+                         int64_t out_rows, int64_t t_pad, int64_t feat_dim,
+                         float* out) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    int64_t t = std::min(lens[i], t_pad);
+    float* row = out + i * t_pad * feat_dim;
+    std::memcpy(row, src + offsets[i] * feat_dim,
+                (size_t)(t * feat_dim) * sizeof(float));
+    std::memset(row + t * feat_dim, 0,
+                (size_t)((t_pad - t) * feat_dim) * sizeof(float));
+  }
+  if (out_rows > n_rows) {
+    std::memset(out + n_rows * t_pad * feat_dim, 0,
+                (size_t)((out_rows - n_rows) * t_pad * feat_dim) *
+                    sizeof(float));
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Levenshtein distance (host WER/CER at corpus scale)
 // ---------------------------------------------------------------------------

@@ -46,6 +46,20 @@ def test_make_dataset_main(tmp_path, capsys):
     assert all("label" in u and "audio" in u for u in manifest)
 
 
+def test_make_dataset_packed_layout(tmp_path):
+    out = str(tmp_path / "d.h5")
+    rc = make_dataset_main([
+        "--parser", "dummy",
+        "--dataset_dir", str(tmp_path / "corpus"),
+        "--output", out,
+        "--input_parser", "mfcc",
+        "--layout", "packed",
+    ])
+    assert rc == 0
+    with h5py.File(out) as f:
+        assert "inputs_flat" in f["train"] and "offsets" in f["train"]
+
+
 def test_json_manifest_flow(tmp_path):
     """to_json manifest -> flow_from_json with on-the-fly features."""
     from asr_study_tpu.cli.data_flow import flow_from_arg

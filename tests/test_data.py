@@ -247,6 +247,108 @@ def test_flow_from_h5_lazy_matches_in_memory(tmp_path):
         assert bm.texts == bl.texts
 
 
+def _packed_h5(tmp_path, n=12):
+    d = Dummy(str(tmp_path / "dummy"), n=n)
+    h5 = str(tmp_path / "packed.h5")
+    d.to_h5(h5, MFCC(d=False, dd=False), CharParser(), layout="packed")
+    return h5
+
+
+def test_packed_layout_roundtrip(tmp_path):
+    """Packed files hold the same utterances as vlen files (modulo the
+    duration-sorted row order) and read back value-identical features."""
+    import h5py
+
+    from asr_study_tpu.data.dataset_parser import read_h5
+
+    vlen_h5 = _streaming_h5(tmp_path)
+    packed_h5 = _packed_h5(tmp_path)
+    vi, vl, vt, vd = read_h5(vlen_h5, "train")
+    pi, pl, pt, pd = read_h5(packed_h5, "train")
+    assert sorted(vt) == sorted(pt)
+    assert np.all(np.diff(pd) >= 0)  # duration-sorted on disk
+    by_text = {t: (x, y) for x, y, t in zip(vi, vl, vt)}
+    for x, y, t in zip(pi, pl, pt):
+        np.testing.assert_array_equal(x, by_text[t][0])
+        np.testing.assert_array_equal(y, by_text[t][1])
+    with h5py.File(packed_h5) as f:
+        grp = f["train"]
+        assert grp.attrs["layout"] == "packed"
+        assert "inputs" not in grp
+        assert grp["offsets"][-1] == grp["inputs_flat"].shape[0]
+
+
+def test_packed_lazy_matches_in_memory(tmp_path):
+    """Streaming a packed file per batch produces byte-identical batches
+    to loading it fully (same order, packing, padding)."""
+    h5 = _packed_h5(tmp_path)
+    gen = DatasetGenerator(batch_size=4, shuffle=False)
+    mem = gen.flow_from_h5(h5, "train", lazy=False)
+    lazy = gen.flow_from_h5(h5, "train", lazy=True)
+    assert mem.steps_per_epoch == lazy.steps_per_epoch
+    for bm, bl in zip(mem.epoch(seed=3), lazy.epoch(seed=3)):
+        np.testing.assert_array_equal(bm.inputs, bl.inputs)
+        np.testing.assert_array_equal(bm.input_lengths, bl.input_lengths)
+        np.testing.assert_array_equal(bm.labels, bl.labels)
+        np.testing.assert_array_equal(bm.weights, bl.weights)
+        np.testing.assert_array_equal(bm.uids, bl.uids)
+
+
+def test_packed_feature_rows_interface(tmp_path):
+    """H5FeatureRows over a packed file: row access, reordered and
+    non-contiguous pack_into (exercises the run-coalescing reads)."""
+    from asr_study_tpu.data.dataset_parser import H5FeatureRows, read_h5
+
+    h5 = _packed_h5(tmp_path, n=8)
+    rows = H5FeatureRows(h5, "train")
+    inputs, _, _, _ = read_h5(h5, "train")
+    assert len(rows) == len(inputs)
+    for i in range(len(rows)):
+        assert rows.row_length(i) == inputs[i].shape[0]
+        np.testing.assert_array_equal(rows[i], inputs[i])
+    t_pad = max(x.shape[0] for x in inputs) + 3
+    for idx in (np.arange(len(inputs))[::-1],           # reversed
+                np.array([0, 2, 3, 1]),                 # mixed runs
+                np.arange(len(inputs))):                # one contiguous run
+        out = np.zeros((len(idx), t_pad, rows.num_feats), np.float32)
+        rows.pack_into(idx, out)
+        for j, i in enumerate(idx):
+            t = inputs[i].shape[0]
+            np.testing.assert_array_equal(out[j, :t], inputs[i])
+            assert np.all(out[j, t:] == 0)
+    rows.close()
+
+
+@pytest.mark.parametrize("layout", ["vlen", "packed"])
+def test_pack_into_defines_uninitialized_buffer(tmp_path, layout):
+    """pack_into owns the whole output buffer: tails and ragged padding
+    rows must be zeroed even when the caller passes garbage (the
+    generator passes np.empty on the lazy path)."""
+    from asr_study_tpu.data.dataset_parser import H5FeatureRows, read_h5
+
+    h5 = (_packed_h5 if layout == "packed" else _streaming_h5)(tmp_path, n=6)
+    rows = H5FeatureRows(h5, "train")
+    inputs, _, _, _ = read_h5(h5, "train")
+    n = len(inputs)
+    t_pad = max(x.shape[0] for x in inputs) + 7
+    out = np.full((n + 2, t_pad, rows.num_feats), np.nan, np.float32)
+    rows.pack_into(np.arange(n), out)
+    assert np.isfinite(out).all()
+    for j in range(n):
+        t = inputs[j].shape[0]
+        np.testing.assert_array_equal(out[j, :t], inputs[j])
+        assert np.all(out[j, t:] == 0)
+    assert np.all(out[n:] == 0)
+    rows.close()
+
+
+def test_write_split_rejects_unknown_layout(tmp_path):
+    d = Dummy(str(tmp_path / "dummy"), n=3)
+    with pytest.raises(ValueError, match="layout"):
+        d.to_h5(str(tmp_path / "x.h5"), MFCC(d=False, dd=False),
+                CharParser(), layout="columnar")
+
+
 def test_flow_from_h5_auto_threshold(tmp_path):
     """The auto mode streams splits whose feature payload exceeds
     max_in_memory_bytes and keeps smaller ones in memory."""
