@@ -398,6 +398,44 @@ class TestEndToEnd:
         assert os.path.exists(tmp_path / "run" / "train_metrics.csv")
         ckpt.close()
 
+    def test_packed_lazy_training_matches_vlen(self, tmp_path):
+        """Training over a packed-layout lazy stream is bit-identical to
+        in-memory vlen training (same loss trajectory): the layout is an
+        IO detail, not a numerics one."""
+        corpus = Dummy(str(tmp_path / "corpus"), n=8)
+        label_parser = CharParser()
+        vlen_h5 = str(tmp_path / "vlen.h5")
+        packed_h5 = str(tmp_path / "packed.h5")
+        corpus.to_h5(vlen_h5, MFCC(), label_parser)
+        corpus.to_h5(packed_h5, MFCC(), label_parser, layout="packed")
+
+        def losses(h5, lazy):
+            gen = DatasetGenerator(batch_size=4, shuffle=False)
+            it = gen.flow_from_h5(h5, "train", lazy=lazy)
+            model = build_model(
+                "graves2006", {"num_hiddens": 16},
+                num_classes=label_parser.num_classes,
+            )
+            trainer = Trainer(model, make_optimizer("adam", 5e-3, 10.0),
+                              donate_state=False)
+            state = trainer.init_state(jax.random.PRNGKey(0), it.num_feats)
+            out = []
+            for ep in range(2):
+                for b in it.epoch(seed=ep):
+                    state, m = trainer.train_step(
+                        state, jnp.asarray(b.inputs),
+                        jnp.asarray(b.input_lengths),
+                        jnp.asarray(b.labels),
+                        jnp.asarray(b.label_lengths),
+                        jnp.asarray(b.weights), jax.random.PRNGKey(ep),
+                    )
+                    out.append(float(m["loss"]))
+            return out
+
+        # packed files are duration-sorted on disk, but the generator
+        # duration-sorts every flow, so batch composition is identical
+        assert losses(packed_h5, lazy=True) == losses(vlen_h5, lazy=False)
+
 
 def test_lr_decay_schedule():
     """make_optimizer(lr_decay, decay_steps) applies staircase decay:
