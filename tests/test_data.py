@@ -307,9 +307,10 @@ def test_packed_feature_rows_interface(tmp_path):
         assert rows.row_length(i) == inputs[i].shape[0]
         np.testing.assert_array_equal(rows[i], inputs[i])
     t_pad = max(x.shape[0] for x in inputs) + 3
-    for idx in (np.arange(len(inputs))[::-1],           # reversed
-                np.array([0, 2, 3, 1]),                 # mixed runs
-                np.arange(len(inputs))):                # one contiguous run
+    for idx in (np.arange(len(inputs))[::-1],  # reversed, one run
+                np.array([0, 2, 3, 1]),        # out-of-order, one run
+                np.array([5, 0, 3, 2]),        # non-contiguous: 3 runs
+                np.arange(len(inputs))):       # ascending, one run
         out = np.zeros((len(idx), t_pad, rows.num_feats), np.float32)
         rows.pack_into(idx, out)
         for j, i in enumerate(idx):
