@@ -57,6 +57,23 @@ def test_bench_train_runs_on_cpu():
     assert np.isfinite(rec["loss"])
 
 
+def test_bench_input_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_input.py"),
+         "--n", "64", "--batch", "8", "--epochs", "1"],
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    names = {r["metric"] for r in recs}
+    assert names == {
+        "input_pipeline_ms_per_batch_in_memory",
+        "input_pipeline_ms_per_batch_lazy_vlen",
+        "input_pipeline_ms_per_batch_lazy_packed",
+    }
+    assert all(r["value"] > 0 for r in recs)
+
+
 @pytest.mark.slow
 def test_bench_decode_runs_on_cpu():
     out = subprocess.run(
