@@ -343,6 +343,39 @@ def test_pack_into_defines_uninitialized_buffer(tmp_path, layout):
     rows.close()
 
 
+def test_packed_layout_with_batched_extractor(tmp_path):
+    """make_dataset --device uses chunked extract_batch calls; the packed
+    writer's sequential-append bookkeeping must hold across chunks."""
+    import h5py
+
+    from asr_study_tpu.data.dataset_parser import read_h5, write_split
+
+    rng = np.random.default_rng(0)
+    rows = [rng.standard_normal((int(t), 7)).astype(np.float32)
+            for t in rng.integers(5, 40, size=11)]
+
+    class BatchedFeat:
+        num_feats = 7
+
+        def extract_batch(self, paths):
+            return [rows[int(p[1:])] for p in paths]
+
+        def __str__(self):
+            return "batched-fake"
+
+    utts = [{"audio": f"u{i}", "label": "abc", "duration": rows[i].shape[0]}
+            for i in range(len(rows))]
+    h5 = str(tmp_path / "p.h5")
+    with h5py.File(h5, "w") as f:
+        write_split(f.create_group("train"), utts, BatchedFeat(),
+                    CharParser(), chunk=4, layout="packed")
+    inputs, _, _, durs = read_h5(h5, "train")
+    assert len(inputs) == len(rows)
+    by_len = sorted(rows, key=lambda r: r.shape[0])
+    for got, want in zip(inputs, by_len):
+        np.testing.assert_array_equal(got, want)
+
+
 def test_write_split_rejects_unknown_layout(tmp_path):
     d = Dummy(str(tmp_path / "dummy"), n=3)
     with pytest.raises(ValueError, match="layout"):
