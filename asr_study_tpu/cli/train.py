@@ -42,6 +42,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decay", type=float, default=0.0,
                    help="staircase LR decay per epoch, e.g. 0.95 "
                         "(0 = constant lr)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: apply the optimizer once "
+                        "per N micro-batches (effective batch = N x "
+                        "batch_size at one micro-batch's memory)")
     p.add_argument("--early_stop", type=int, default=0,
                    help="stop when val_loss has not improved for N "
                         "epochs (0 = off)")
@@ -94,7 +98,7 @@ def main(argv=None) -> int:
         )
         tags = [args.model]
         for k in ("params", "batch_size", "opt", "lr", "clipnorm", "bf16",
-                  "lr_decay", "early_stop"):
+                  "lr_decay", "early_stop", "accum_steps"):
             v = getattr(args, k)
             if v != getattr(defaults, k) and v not in (None, False):
                 tags.append(f"{k}={v}")
@@ -143,7 +147,13 @@ def main(argv=None) -> int:
     tx = make_optimizer(
         args.opt, args.lr, args.clipnorm,
         lr_decay=args.lr_decay,
-        decay_steps=train_it.steps_per_epoch if args.lr_decay else 0,
+        # the decay schedule counts optimizer APPLIES, which accumulation
+        # makes 1/accum_steps as frequent — keep per-epoch decay semantics
+        decay_steps=(
+            max(1, train_it.steps_per_epoch // args.accum_steps)
+            if args.lr_decay else 0
+        ),
+        accum_steps=args.accum_steps,
     )
     import jax.numpy as jnp
 
@@ -183,7 +193,7 @@ def main(argv=None) -> int:
         "batch_size": args.batch_size, "opt": args.opt, "lr": args.lr,
         "clipnorm": args.clipnorm, "num_devices": n_dev,
         "bf16": args.bf16, "lr_decay": args.lr_decay,
-        "early_stop": args.early_stop,
+        "early_stop": args.early_stop, "accum_steps": args.accum_steps,
         "num_feats": train_it.num_feats,
         "num_classes": label_parser.num_classes,
     }

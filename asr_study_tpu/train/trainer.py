@@ -43,6 +43,7 @@ def make_optimizer(
     weight_decay: float = 0.0,
     lr_decay: float = 0.0,
     decay_steps: int = 0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """Optimizer factory mirroring the reference's compile-time choices
     (Adam + clipnorm was the reference default [ref: train.py]).
@@ -51,7 +52,18 @@ def make_optimizer(
     exponential decay: lr *= lr_decay every ``decay_steps`` optimizer
     steps (pass the data layer's steps_per_epoch for per-epoch decay, the
     Keras-era LR-schedule idiom).  The schedule is indexed by the
-    optimizer's step count, so ``--resume`` continues it correctly."""
+    optimizer's step count, so ``--resume`` continues it correctly.
+
+    ``accum_steps`` > 1 enables gradient accumulation (optax.MultiSteps):
+    the mean gradient of k consecutive micro-batches feeds ONE optimizer
+    apply — an effective batch of k x batch_size at the HBM footprint of
+    one micro-batch (long-utterance / wide-model training on a fixed
+    chip).  clipnorm and lr_decay act on the accumulated step, matching a
+    genuine big-batch run; with equal-size fully-weighted micro-batches
+    the parameter trajectory matches the big-batch one to float
+    tolerance (weighted-mean losses compose exactly)."""
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if lr_decay:
         if not 0.0 < lr_decay < 1.0:
             raise ValueError(f"lr_decay must be in (0, 1), got {lr_decay}")
@@ -77,7 +89,11 @@ def make_optimizer(
     if clipnorm and clipnorm > 0:
         chain.append(optax.clip_by_global_norm(clipnorm))
     chain.append(opts[name]())
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        ms = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+        tx = optax.GradientTransformation(ms.init, ms.update)
+    return tx
 
 
 def make_mesh(num_devices: Optional[int] = None) -> Mesh:

@@ -437,6 +437,42 @@ class TestEndToEnd:
         assert losses(packed_h5, lazy=True) == losses(vlen_h5, lazy=False)
 
 
+def test_grad_accumulation_matches_big_batch():
+    """accum_steps=2 over two equal fully-weighted micro-batches lands on
+    the same parameters as one optimizer step on the combined batch: the
+    per-micro weighted-mean gradients average to the big-batch mean."""
+    model = build_model(
+        "graves2006", {"num_hiddens": 8}, num_classes=4
+    )
+    big = _toy_batch(jax.random.PRNGKey(7), batch=8)
+
+    def half(i):
+        return {k: v[4 * i: 4 * (i + 1)] for k, v in big.items()}
+
+    def run(accum, batches):
+        tx = make_optimizer("adam", 5e-3, clipnorm=10.0, accum_steps=accum)
+        trainer = Trainer(model, tx, donate_state=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        for b in batches:
+            state, _ = trainer.train_step(
+                state, b["inputs"], b["input_lengths"], b["labels"],
+                b["label_lengths"], b["weights"], jax.random.PRNGKey(0),
+            )
+        return state.params
+
+    p_accum = run(2, [half(0), half(1)])
+    p_big = run(1, [big])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+        p_accum, p_big,
+    )
+
+
+def test_make_optimizer_rejects_bad_accum():
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_optimizer("adam", accum_steps=0)
+
+
 def test_lr_decay_schedule():
     """make_optimizer(lr_decay, decay_steps) applies staircase decay:
     SGD update magnitude halves after decay_steps optimizer steps."""
