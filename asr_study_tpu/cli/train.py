@@ -42,6 +42,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decay", type=float, default=0.0,
                    help="staircase LR decay per epoch, e.g. 0.95 "
                         "(0 = constant lr)")
+    p.add_argument("--lr_plateau", type=float, default=0.0,
+                   help="scale LR by this factor when the epoch-averaged "
+                        "train loss plateaus (Keras ReduceLROnPlateau "
+                        "idiom; 0 = off)")
+    p.add_argument("--lr_patience", type=int, default=3,
+                   help="epochs without improvement before --lr_plateau "
+                        "fires")
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient accumulation: apply the optimizer once "
                         "per N micro-batches (effective batch = N x "
@@ -98,7 +105,7 @@ def main(argv=None) -> int:
         )
         tags = [args.model]
         for k in ("params", "batch_size", "opt", "lr", "clipnorm", "bf16",
-                  "lr_decay", "early_stop", "accum_steps"):
+                  "lr_decay", "early_stop", "accum_steps", "lr_plateau"):
             v = getattr(args, k)
             if v != getattr(defaults, k) and v not in (None, False):
                 tags.append(f"{k}={v}")
@@ -154,6 +161,9 @@ def main(argv=None) -> int:
             if args.lr_decay else 0
         ),
         accum_steps=args.accum_steps,
+        plateau_factor=args.lr_plateau,
+        plateau_patience=args.lr_patience if args.lr_plateau else 0,
+        plateau_window=max(1, train_it.steps_per_epoch // args.accum_steps),
     )
     import jax.numpy as jnp
 
@@ -194,6 +204,7 @@ def main(argv=None) -> int:
         "clipnorm": args.clipnorm, "num_devices": n_dev,
         "bf16": args.bf16, "lr_decay": args.lr_decay,
         "early_stop": args.early_stop, "accum_steps": args.accum_steps,
+        "lr_plateau": args.lr_plateau,
         "num_feats": train_it.num_feats,
         "num_classes": label_parser.num_classes,
     }

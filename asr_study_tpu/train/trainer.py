@@ -44,6 +44,9 @@ def make_optimizer(
     lr_decay: float = 0.0,
     decay_steps: int = 0,
     accum_steps: int = 1,
+    plateau_factor: float = 0.0,
+    plateau_patience: int = 0,
+    plateau_window: int = 1,
 ) -> optax.GradientTransformation:
     """Optimizer factory mirroring the reference's compile-time choices
     (Adam + clipnorm was the reference default [ref: train.py]).
@@ -61,9 +64,27 @@ def make_optimizer(
     chip).  clipnorm and lr_decay act on the accumulated step, matching a
     genuine big-batch run; with equal-size fully-weighted micro-batches
     the parameter trajectory matches the big-batch one to float
-    tolerance (weighted-mean losses compose exactly)."""
+    tolerance (weighted-mean losses compose exactly).
+
+    ``plateau_factor`` in (0, 1) with ``plateau_patience`` > 0 is the
+    Keras ``ReduceLROnPlateau`` idiom (optax.contrib.reduce_on_plateau):
+    the per-step training loss is averaged over ``plateau_window``
+    optimizer applies (pass steps_per_epoch for epoch granularity); when
+    the averaged loss has not improved for ``plateau_patience`` windows,
+    updates are scaled by ``plateau_factor``.  The scale lives in the
+    optimizer state, so ``--resume`` keeps it.  The trainer feeds the
+    loss via ``update(..., value=loss)``."""
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if plateau_factor and not 0.0 < plateau_factor < 1.0:
+        raise ValueError(
+            f"plateau_factor must be in (0, 1), got {plateau_factor}"
+        )
+    if plateau_factor and plateau_patience <= 0:
+        raise ValueError(
+            f"plateau_factor={plateau_factor} needs plateau_patience > 0 "
+            f"(got {plateau_patience})"
+        )
     if lr_decay:
         if not 0.0 < lr_decay < 1.0:
             raise ValueError(f"lr_decay must be in (0, 1), got {lr_decay}")
@@ -89,10 +110,15 @@ def make_optimizer(
     if clipnorm and clipnorm > 0:
         chain.append(optax.clip_by_global_norm(clipnorm))
     chain.append(opts[name]())
+    if plateau_factor:
+        chain.append(optax.contrib.reduce_on_plateau(
+            factor=plateau_factor, patience=plateau_patience,
+            accumulation_size=max(1, plateau_window),
+        ))
     tx = optax.chain(*chain)
     if accum_steps > 1:
         ms = optax.MultiSteps(tx, every_k_schedule=accum_steps)
-        tx = optax.GradientTransformation(ms.init, ms.update)
+        tx = optax.GradientTransformationExtraArgs(ms.init, ms.update)
     return tx
 
 
@@ -122,7 +148,10 @@ class Trainer:
         in bf16 (MXU-native) with f32 master weights, f32 CTC loss, and f32
         optimizer state — classic mixed precision.  None = full f32."""
         self.model = model
-        self.tx = optimizer
+        # normalize to the extra-args protocol: plain transforms ignore the
+        # ``value=loss`` the train step always passes (reduce_on_plateau
+        # consumes it)
+        self.tx = optax.with_extra_args_support(optimizer)
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         if mesh is not None:
@@ -225,7 +254,7 @@ class Trainer:
         loss = loss_sum / denom
         gnorm = optax.global_norm(grads)
         updates, opt_state = self.tx.update(
-            grads, state.opt_state, state.params
+            grads, state.opt_state, state.params, value=loss
         )
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)

@@ -473,6 +473,68 @@ def test_make_optimizer_rejects_bad_accum():
         make_optimizer("adam", accum_steps=0)
 
 
+def test_reduce_on_plateau_scales_updates():
+    """plateau_factor halves the update once the windowed loss has been
+    stale for plateau_patience windows (Keras ReduceLROnPlateau idiom);
+    the trainer feeds the loss via update(..., value=...)."""
+    import optax
+
+    tx = make_optimizer("adam", lr=1.0, clipnorm=0.0,
+                        plateau_factor=0.5, plateau_patience=2,
+                        plateau_window=1)
+    tx = optax.with_extra_args_support(tx)
+    params = {"w": jnp.zeros((3,))}
+    grads = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    mags = []
+    for _ in range(8):
+        upd, st = tx.update(grads, st, params, value=jnp.float32(1.0))
+        mags.append(float(-upd["w"][0]))
+    # adam's bias-corrected magnitude for a constant grad is the LR; the
+    # constant (never-improving) loss must have triggered >= one halving
+    assert mags[0] == pytest.approx(1.0, rel=1e-3)
+    assert mags[-1] <= 0.5 * mags[0] + 1e-6
+    # an improving loss never triggers
+    tx2 = optax.with_extra_args_support(make_optimizer(
+        "adam", lr=1.0, clipnorm=0.0,
+        plateau_factor=0.5, plateau_patience=2, plateau_window=1,
+    ))
+    st2 = tx2.init(params)
+    for i in range(8):
+        upd, st2 = tx2.update(grads, st2, params,
+                              value=jnp.float32(10.0 - i))
+    assert float(-upd["w"][0]) == pytest.approx(1.0, rel=1e-3)
+
+
+def test_plateau_with_accumulation_composes():
+    """reduce_on_plateau inside MultiSteps: extra args flow through and
+    the scale still engages on a stale loss."""
+    import optax
+
+    tx = optax.with_extra_args_support(make_optimizer(
+        "sgd", lr=1.0, clipnorm=0.0, accum_steps=2,
+        plateau_factor=0.5, plateau_patience=1, plateau_window=1,
+    ))
+    params = {"w": jnp.zeros((3,))}
+    grads = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    mags = []
+    for _ in range(12):   # 6 optimizer applies
+        upd, st = tx.update(grads, st, params, value=jnp.float32(1.0))
+        m = float(-upd["w"][0])
+        if m:             # micro-steps emit zero updates
+            mags.append(m)
+    assert mags[0] == pytest.approx(1.0, rel=1e-3)
+    assert mags[-1] < 0.6 * mags[0]
+
+
+def test_make_optimizer_rejects_bad_plateau():
+    with pytest.raises(ValueError, match="plateau_factor"):
+        make_optimizer("adam", plateau_factor=1.5, plateau_patience=2)
+    with pytest.raises(ValueError, match="plateau_patience"):
+        make_optimizer("adam", plateau_factor=0.5)
+
+
 def test_lr_decay_schedule():
     """make_optimizer(lr_decay, decay_steps) applies staircase decay:
     SGD update magnitude halves after decay_steps optimizer steps."""
