@@ -72,6 +72,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "across runs/optimizers, unlike --resume")
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
+    p.add_argument("--tp_devices", type=int, default=1,
+                   help="tensor-parallel shards per replica (gate-dim "
+                        "sharded recurrence, lstm/gru cells; total devices "
+                        "= num_devices x tp_devices)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of early steps")
@@ -120,16 +124,21 @@ def main(argv=None) -> int:
     )
 
     avail = len(jax.devices())
-    n_dev = args.num_devices or avail
-    if n_dev > avail:
+    tp = max(1, args.tp_devices)
+    n_dev = args.num_devices or avail // tp
+    if n_dev * tp > avail:
         raise SystemExit(
-            f"--num_devices {n_dev} but only {avail} device(s) available"
+            f"--num_devices {n_dev} x --tp_devices {tp} but only "
+            f"{avail} device(s) available"
         )
     if args.batch_size % n_dev:
         raise SystemExit(
             f"--batch_size {args.batch_size} not divisible by {n_dev} devices"
         )
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    mesh = (
+        make_mesh(n_dev, model_devices=tp)
+        if n_dev > 1 or tp > 1 else None
+    )
 
     from asr_study_tpu.cli.data_flow import flow_from_arg
 
@@ -202,6 +211,7 @@ def main(argv=None) -> int:
         "model": args.model, "params": args.params,
         "batch_size": args.batch_size, "opt": args.opt, "lr": args.lr,
         "clipnorm": args.clipnorm, "num_devices": n_dev,
+        "tp_devices": tp,
         "bf16": args.bf16, "lr_decay": args.lr_decay,
         "early_stop": args.early_stop, "accum_steps": args.accum_steps,
         "lr_plateau": args.lr_plateau,

@@ -277,8 +277,15 @@ class RNNLayer:
             params["bw"] = self.cell.init(kb, input_dim)
         return params
 
-    def apply(self, params, x, mask, key=None, train: bool = False):
-        """x: [T, B, F] -> [T, B, output_dim]"""
+    def apply(self, params, x, mask, key=None, train: bool = False,
+              tp=None):
+        """x: [T, B, F] -> [T, B, output_dim].  ``tp=(axis_name, shards)``
+        runs the gate-dim tensor-parallel scan (parallel/tp.py) — only
+        valid inside shard_map with that mesh axis bound."""
+        if tp is not None and tp[1] > 1:
+            from asr_study_tpu.parallel.tp import tp_rnn_layer_apply
+
+            return tp_rnn_layer_apply(self, params, x, mask, *tp) * mask
         kf = kb = None
         if key is not None:
             kf, kb = jax.random.split(key)
@@ -482,7 +489,8 @@ class StackedRNN:
             dim = layer.output_dim
         return {"layers": params}
 
-    def apply(self, params, x, mask, key=None, train: bool = False):
+    def apply(self, params, x, mask, key=None, train: bool = False,
+              tp=None):
         """x: [T, B, F] -> [T, B, output_dim]"""
         out = x
         for i, (layer, p) in enumerate(zip(self.layers, params["layers"])):
@@ -490,7 +498,7 @@ class StackedRNN:
                 key, k_rnn, k_drop = jax.random.split(key, 3)
             else:
                 k_rnn = k_drop = None
-            h = layer.apply(p["rnn"], out, mask, k_rnn, train)
+            h = layer.apply(p["rnn"], out, mask, k_rnn, train, tp=tp)
             if self.skip != "none":
                 skip_in = (
                     nn.dense_apply(p["proj"], out) if "proj" in p else out

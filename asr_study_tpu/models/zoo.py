@@ -81,6 +81,7 @@ class AcousticModel:
         input_lengths: jax.Array,     # [B]
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        tp: "Optional[tuple]" = None,  # ("model_axis_name", num_shards)
     ) -> jax.Array:                   # logits [B, T, V+1]
         x = jnp.transpose(inputs, (1, 0, 2))  # time-major
         t_steps = x.shape[0]
@@ -95,7 +96,7 @@ class AcousticModel:
                     rng, k = jax.random.split(rng)
                     x = nn.dropout(k, x, self.input_dropout, train)
             x = x * mask
-        h = self.rnn.apply(params["rnn"], x, mask, rng, train)
+        h = self.rnn.apply(params["rnn"], x, mask, rng, train, tp=tp)
         logits = nn.dense_apply(params["out"], h)
         return jnp.transpose(logits, (1, 0, 2))
 

@@ -50,11 +50,14 @@ class CheckpointManager:
         self.best_metric = best_metric
         self.mode = mode
         self.keep_best = keep_best
+        # explicit handler so item_metadata works on managers that never
+        # saved in this process (the device-agnostic restore needs it)
         self._mgr = ocp.CheckpointManager(
             os.path.join(self.directory, "ckpt"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True
             ),
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
         self._best_mgr = None
         if keep_best:
@@ -67,6 +70,7 @@ class CheckpointManager:
                     keep_checkpoints_without_metrics=False,
                     create=True,
                 ),
+                item_handlers=ocp.StandardCheckpointHandler(),
             )
         self._meta_path = os.path.join(self.directory, "meta.json")
         self.meta: Dict[str, Any] = {"history": [], "hparams": {}}
@@ -157,19 +161,23 @@ class CheckpointManager:
             raise FileNotFoundError(
                 f"no checkpoint found under {self.directory}"
             )
-        # Target-less restore: the checkpoint's opt_state may have any
-        # structure (different optimizer), so no full target tree exists
-        # to give Orbax.  Its advisory "UNSAFE without a target" warnings
-        # are silenced because every leaf is shape-validated right below.
-        import logging
-
-        absl_log = logging.getLogger("absl")
-        prev_level = absl_log.level
-        absl_log.setLevel(logging.ERROR)
-        try:
-            saved = mgr.restore(step)["params"]
-        finally:
-            absl_log.setLevel(prev_level)
+        # Device-agnostic restore: the checkpoint's opt_state may have any
+        # structure (different optimizer), so the target comes from the
+        # CHECKPOINT's own metadata — with every leaf bound to the current
+        # default device.  A target-less restore would instead replay the
+        # SAVED sharding layout, which fails whenever the device set
+        # changed (e.g. eval on one chip of a run trained on a mesh).
+        meta = mgr.item_metadata(step)
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(
+                m.shape, m.dtype, sharding=sharding
+            ),
+            meta, is_leaf=lambda x: hasattr(x, "shape"),
+        )
+        saved = mgr.restore(
+            step, args=ocp.args.StandardRestore(target)
+        )["params"]
         def _paths(tree):
             flat = jax.tree_util.tree_flatten_with_path(tree)[0]
             return (

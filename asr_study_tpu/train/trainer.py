@@ -122,10 +122,18 @@ def make_optimizer(
     return tx
 
 
-def make_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D ``data`` mesh over the available devices."""
+def make_mesh(num_devices: Optional[int] = None,
+              model_devices: int = 1) -> Mesh:
+    """``data`` mesh over the available devices; ``model_devices`` > 1
+    adds a second ``model`` axis for tensor-parallel recurrences
+    (parallel/tp.py) — total devices = data x model."""
     devs = jax.devices()
-    n = num_devices or len(devs)
+    n = num_devices or len(devs) // model_devices
+    if model_devices > 1:
+        return jax.make_mesh(
+            (n, model_devices), ("data", "model"),
+            devices=devs[: n * model_devices],
+        )
     return jax.make_mesh((n,), ("data",), devices=devs[:n])
 
 
@@ -154,6 +162,12 @@ class Trainer:
         self.tx = optax.with_extra_args_support(optimizer)
         self.mesh = mesh
         self.compute_dtype = compute_dtype
+        # 2-D (data, model) mesh => gate-dim tensor-parallel recurrence
+        self.tp_shards = (
+            int(dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                "model", 1
+            )) if mesh is not None else 1
+        )
         if mesh is not None:
             self._repl = NamedSharding(mesh, P())
             self._batched = NamedSharding(mesh, P("data"))
@@ -195,6 +209,12 @@ class Trainer:
             return x
         return jax.lax.psum(x, "data")
 
+    def _tp(self):
+        """("model", shards) when the mesh has a model axis, else None.
+        Gradients stay model-replicated (tp_slice's VJP psums the weight
+        cotangents over "model"), so _psum over "data" alone is exact."""
+        return ("model", self.tp_shards) if self.tp_shards > 1 else None
+
     @property
     def batch_sharding(self):
         """Sharding for device-bound batch fields (None single-chip)."""
@@ -232,7 +252,7 @@ class Trainer:
                 p = jax.tree_util.tree_map(cast, p)
                 x = cast(x)
             logits = self.model.apply(
-                p, x, input_lengths, train=True, rng=rng
+                p, x, input_lengths, train=True, rng=rng, tp=self._tp()
             )
             per_seq = ctc.ctc_loss(
                 logits.astype(jnp.float32), input_lengths, labels,
@@ -265,7 +285,8 @@ class Trainer:
         label_lengths, weights,
     ) -> Dict[str, jax.Array]:
         logits = self.model.apply(
-            state.params, inputs, input_lengths, train=False
+            state.params, inputs, input_lengths, train=False,
+            tp=self._tp(),
         )
         per_seq = ctc.ctc_loss(
             logits, input_lengths, labels, label_lengths,

@@ -1,0 +1,153 @@
+"""Tensor parallelism (parallel/tp.py): gate-dim-sharded recurrences on a
+(data, model) mesh must match the standard single-device path — forward,
+gradients, and full train steps (SURVEY.md §2.3 extension)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from asr_study_tpu.models.zoo import build_model
+from asr_study_tpu.train.trainer import Trainer, make_mesh, make_optimizer
+
+
+def _mesh(data, model):
+    if len(jax.devices()) < data * model:
+        pytest.skip(f"needs {data * model} devices")
+    return make_mesh(data, model_devices=model)
+
+
+def _batch(key, batch=8, t=12, feats=5, l=3, num_classes=4):
+    k1, k2 = jax.random.split(key)
+    lengths = jnp.array([t] * (batch - 1) + [t - 3], jnp.int32)
+    return dict(
+        inputs=jax.random.normal(k1, (batch, t, feats)),
+        input_lengths=lengths,
+        labels=jax.random.randint(k2, (batch, l), 0, num_classes),
+        label_lengths=jnp.full((batch,), l, jnp.int32),
+        weights=jnp.ones((batch,), jnp.float32),
+    )
+
+
+def test_tp_slice_grad_reassembles():
+    """tp_slice's VJP psums the per-shard cotangents into the FULL weight
+    gradient, identical on every model shard."""
+    from asr_study_tpu.parallel.tp import tp_slice
+
+    mesh = _mesh(1, 2)
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 8))  # G=2, H=4
+
+    def loss(w):
+        loc = tp_slice(w, 2, "model", 2)          # [3, 2*2]
+        return jnp.sum(loc * loc)
+
+    g = jax.jit(jax.shard_map(
+        jax.grad(loss), mesh=mesh, in_specs=P(), out_specs=P(),
+        check_vma=False,
+    ))(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2 * w), rtol=1e-6)
+
+
+@pytest.mark.parametrize("model_name", ["deep_blstm", "deep_gru"])
+def test_tp_forward_matches_single_device(model_name):
+    """Model forward under a 2-way model mesh == the plain scan forward."""
+    model = build_model(
+        model_name, {"num_hiddens": 8, "num_layers": 2, "dropout": 0.0},
+        num_classes=4,
+    )
+    params = model.init(jax.random.PRNGKey(0), 5)
+    b = _batch(jax.random.PRNGKey(1))
+    ref = model.apply(params, b["inputs"], b["input_lengths"], train=False)
+
+    mesh = _mesh(1, 2)
+    tp_fn = jax.jit(jax.shard_map(
+        lambda p, x, ln: model.apply(
+            p, x, ln, train=False, tp=("model", 2)
+        ),
+        mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    ))
+    got = tp_fn(params, b["inputs"], b["input_lengths"])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_tp_train_step_matches_single_device():
+    """Full DP x TP train step on a (2 data, 2 model) mesh: loss and
+    post-step params match the single-device step."""
+    model = build_model(
+        "deep_blstm", {"num_hiddens": 8, "num_layers": 2, "dropout": 0.0},
+        num_classes=4,
+    )
+    b = _batch(jax.random.PRNGKey(3))
+
+    def steps(mesh, n_steps=2):
+        trainer = Trainer(model, make_optimizer("adam", 5e-3, 10.0),
+                          mesh=mesh, donate_state=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        losses = []
+        for _ in range(n_steps):
+            state, m = trainer.train_step(
+                state, b["inputs"], b["input_lengths"], b["labels"],
+                b["label_lengths"], b["weights"], jax.random.PRNGKey(0),
+            )
+            losses.append(float(m["loss"]))
+        return losses, state.params
+
+    ref_losses, ref_params = steps(None)
+    tp_losses, tp_params = steps(_mesh(2, 2))
+    np.testing.assert_allclose(tp_losses, ref_losses, rtol=1e-5)
+    jax.tree_util.tree_map(
+        # psum reduction order vs single-device accumulation differs at
+        # ~1e-7 in the grads; adam's rsqrt amplifies that to ~5e-5 on a
+        # handful of elements after 2 steps
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        ),
+        tp_params, ref_params,
+    )
+
+
+def test_tp_eval_step_matches_single_device():
+    model = build_model(
+        "deep_gru", {"num_hiddens": 8, "num_layers": 1, "dropout": 0.0},
+        num_classes=4,
+    )
+    b = _batch(jax.random.PRNGKey(5))
+
+    def ev(mesh):
+        trainer = Trainer(model, make_optimizer(), mesh=mesh,
+                          donate_state=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        out = trainer.eval_step(
+            state, b["inputs"], b["input_lengths"], b["labels"],
+            b["label_lengths"], b["weights"],
+        )
+        return {k: float(v) for k, v in out.items()}
+
+    ref = ev(None)
+    got = ev(_mesh(2, 2))
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-5), k
+
+
+def test_tp_rejects_unsupported_cell():
+    from asr_study_tpu.parallel.tp import tp_scan
+
+    model = build_model("ln_blstm", {"num_hiddens": 8, "num_layers": 1},
+                        num_classes=4)
+    cell = model.rnn.layers[0].cell
+    with pytest.raises(ValueError, match="lstm/gru"):
+        tp_scan(cell, {}, jnp.zeros((4, 2, 5)), jnp.ones((4, 2, 1)),
+                "model", 2)
+
+
+def test_tp_rejects_indivisible_hidden():
+    from asr_study_tpu.models.cells import LSTMCell
+    from asr_study_tpu.parallel.tp import tp_scan
+
+    with pytest.raises(ValueError, match="divisible"):
+        tp_scan(LSTMCell(10), {}, jnp.zeros((4, 2, 5)),
+                jnp.ones((4, 2, 1)), "model", 4)
