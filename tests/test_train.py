@@ -507,6 +507,38 @@ def test_grad_accumulation_matches_big_batch():
     )
 
 
+def test_grad_accumulation_under_dp_mesh():
+    """MultiSteps composes with the shard_map DP step: two accumulated
+    micro-batches on a 2-device mesh match the single-device big batch."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    model = build_model("graves2006", {"num_hiddens": 8}, num_classes=4)
+    big = _toy_batch(jax.random.PRNGKey(11), batch=8)
+
+    def half(i):
+        return {k: v[4 * i: 4 * (i + 1)] for k, v in big.items()}
+
+    def run(mesh, accum, batches):
+        tx = make_optimizer("adam", 5e-3, clipnorm=10.0, accum_steps=accum)
+        trainer = Trainer(model, tx, mesh=mesh, donate_state=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        for b in batches:
+            state, _ = trainer.train_step(
+                state, b["inputs"], b["input_lengths"], b["labels"],
+                b["label_lengths"], b["weights"], jax.random.PRNGKey(0),
+            )
+        return state.params
+
+    p_dp = run(make_mesh(2), 2, [half(0), half(1)])
+    p_ref = run(None, 1, [big])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        ),
+        p_dp, p_ref,
+    )
+
+
 def test_make_optimizer_rejects_bad_accum():
     with pytest.raises(ValueError, match="accum_steps"):
         make_optimizer("adam", accum_steps=0)
