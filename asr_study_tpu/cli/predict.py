@@ -45,9 +45,34 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=("pcm16", "mulaw"),
                    help="--on_device wire encoding: pcm16 (lossless) or "
                         "mulaw (8-bit companded, half the wire bytes)")
+    p.add_argument("--stream", action="store_true",
+                   help="chunked streaming decode with carried recurrent "
+                        "state — unbounded-length audio at bounded memory "
+                        "(unidirectional models only; asr_study_tpu/"
+                        "streaming.py)")
+    p.add_argument("--chunk_seconds", type=float, default=10.0,
+                   help="audio chunk size for --stream")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
     return p
+
+
+def _predict_streaming(args, model, state, feat_kw, label_parser):
+    from asr_study_tpu.features.wav import read_wav
+    from asr_study_tpu.streaming import StreamingRecognizer
+
+    feature = get_from_module("feature", args.input_parser)(**feat_kw)
+    step = max(1, int(args.chunk_seconds * feature.fs))
+    for path in args.wavs:
+        wav, _sr = read_wav(path, sr=feature.fs)
+        rec = StreamingRecognizer(model, state.params, feature)
+        for lo in range(0, max(len(wav), 1), step):
+            rec.push(wav[lo: lo + step])
+        ids = rec.finish()
+        print(json.dumps({
+            "file": path,
+            "transcript": label_parser.imap(np.asarray(ids, np.int32)),
+        }))
 
 
 def _decode(logits, lengths, beam_width: int, blank_id: int):
@@ -128,6 +153,14 @@ def main(argv=None) -> int:
 
     feat_kw = json.loads(args.input_params) if args.input_params else {}
 
+    if args.stream:
+        if args.on_device or args.beam_width:
+            raise SystemExit(
+                "--stream is greedy host-featurized decoding; it excludes "
+                "--on_device and --beam_width"
+            )
+        _predict_streaming(args, model, state, feat_kw, label_parser)
+        return 0
     if args.on_device:
         dec, lens = _predict_on_device(args, model, state, feat_kw)
     else:

@@ -118,17 +118,25 @@ def _pad_hidden(xp_b, wh, hidden: int, num_gates: int):
 
 def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
               reverse: bool = False, unroll: int = 1,
-              backend: Optional[str] = None):
+              backend: Optional[str] = None, carry0=None,
+              return_carry: bool = False):
     """Run one direction of a recurrence.
 
     xp:   [T, B, G*H]  precomputed input projections
     mask: [T, B, 1]    1.0 on real frames
-    ->    [T, B, H]
+    ->    [T, B, H]  (or (outs, final_carry) with ``return_carry``)
+
+    ``carry0``/``return_carry`` support STREAMING (chunked) inference:
+    they force the ``lax.scan`` backend (the Pallas kernels run whole
+    sequences and do not expose carries) and are forward-only.
     """
     t_steps, batch = xp.shape[0], xp.shape[1]
     orig_mask = mask
     backend = backend or RNN_BACKEND
-    if backend != "scan" and _pallas_eligible(cell):
+    streaming = carry0 is not None or return_carry
+    if streaming and reverse:
+        raise ValueError("carry streaming is forward-only")
+    if not streaming and backend != "scan" and _pallas_eligible(cell):
         on_tpu = jax.default_backend() == "tpu"
         if backend == "pallas" or on_tpu:
             # f32 mask: Mosaic can't compare bf16 (mixed-precision models
@@ -250,10 +258,12 @@ def scan_cell(cell, params, xp, mask, key=None, train: bool = False,
         return carry, out
 
     xs = (xp, mask, keys) if keys is not None else (xp, mask)
-    _, outs = jax.lax.scan(body, cell.init_carry(batch), xs, unroll=unroll)
+    init = cell.init_carry(batch) if carry0 is None else carry0
+    carry, outs = jax.lax.scan(body, init, xs, unroll=unroll)
     if reverse:
         outs = outs[::-1]
-    return outs * orig_mask  # zero padded positions
+    outs = outs * orig_mask  # zero padded positions
+    return (outs, carry) if return_carry else outs
 
 
 class RNNLayer:
@@ -301,6 +311,25 @@ class RNNLayer:
         out_b = scan_cell(self.cell, params["bw"], xp_b, mask, kb, train,
                           reverse=True, unroll=self.unroll)
         return jnp.concatenate([out_f, out_b], axis=-1)
+
+    def apply_streaming(self, params, x, mask, carry):
+        """One chunk of a forward-only recurrence with carried state:
+        x [T, B, F] -> ([T, B, H], new_carry).  Bidirectional layers have
+        no streaming form (the backward direction needs the future)."""
+        if self.bidirectional:
+            raise ValueError(
+                "streaming requires a unidirectional layer — build the "
+                "model with bidirectional=false"
+            )
+        xp = self.cell.input_proj(params["fw"], x)
+        return scan_cell(
+            self.cell, params["fw"], xp, mask, None, False,
+            reverse=False, unroll=self.unroll, backend="scan",
+            carry0=carry, return_carry=True,
+        )
+
+    def init_stream_carry(self, batch: int):
+        return self.cell.init_carry(batch)
 
     def _apply_fused_bidi(self, params, x, mask, kf, kb, train):
         """Both directions in ONE Pallas kernel (ops/pallas_bilstm.py /
@@ -513,3 +542,27 @@ class StackedRNN:
                 h = nn.dropout(k_drop, h, self.dropout, train)
             out = h
         return out
+
+    def init_stream_carries(self, batch: int):
+        return [l.init_stream_carry(batch) for l in self.layers]
+
+    def apply_streaming(self, params, x, mask, carries):
+        """One chunk through the stack with per-layer carried state
+        (inference only — dropout off): -> (out, new_carries)."""
+        out = x
+        new = []
+        for layer, p, c in zip(self.layers, params["layers"], carries):
+            h, c2 = layer.apply_streaming(p["rnn"], out, mask, c)
+            new.append(c2)
+            if self.skip != "none":
+                skip_in = (
+                    nn.dense_apply(p["proj"], out) if "proj" in p else out
+                )
+                if self.skip == "residual":
+                    h = h + skip_in
+                else:  # highway
+                    t = jax.nn.sigmoid(nn.dense_apply(p["gate"], out))
+                    h = t * h + (1.0 - t) * skip_in
+                h = h * mask
+            out = h
+        return out, new

@@ -100,6 +100,34 @@ class AcousticModel:
         logits = nn.dense_apply(params["out"], h)
         return jnp.transpose(logits, (1, 0, 2))
 
+    def init_stream_carries(self, batch: int):
+        return self.rnn.init_stream_carries(batch)
+
+    def apply_streaming(
+        self,
+        params,
+        inputs: jax.Array,            # [B, T, F]  one chunk
+        input_lengths: jax.Array,     # [B] valid frames in this chunk
+        carries,                      # from init_stream_carries / last call
+    ):
+        """Chunked forward with carried recurrent state — unbounded-length
+        transcription at bounded memory (unidirectional models only).
+        -> (logits [B, T, V+1], new_carries).  Feeding a full utterance in
+        chunks is exactly equivalent to one apply() call."""
+        x = jnp.transpose(inputs, (1, 0, 2))
+        t_steps = x.shape[0]
+        mask = (
+            jnp.arange(t_steps)[:, None] < input_lengths[None, :]
+        ).astype(x.dtype)[..., None]
+        if self.input_layers:
+            for p in params["front"]:
+                x = nn.dense_apply(p, x)
+                x = jnp.clip(jax.nn.relu(x), 0.0, self.relu_clip)
+            x = x * mask
+        h, carries = self.rnn.apply_streaming(params["rnn"], x, mask, carries)
+        logits = nn.dense_apply(params["out"], h)
+        return jnp.transpose(logits, (1, 0, 2)), carries
+
     def __call__(self, *args, **kw):
         return self.apply(*args, **kw)
 
