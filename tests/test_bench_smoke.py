@@ -75,6 +75,21 @@ def test_bench_input_runs():
 
 
 @pytest.mark.slow
+def test_bench_stream_runs_on_cpu():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_stream.py"),
+         "--platform", "cpu", "--seconds", "2", "--chunk_seconds", "0.5",
+         "--hidden", "16", "--layers", "1", "--chunk_frames", "32"],
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "streaming_inference"
+    assert rec["rtf_stream"] > 0 and rec["rtf_batch"] > 0
+    assert rec["first_chunk_latency_ms"] > 0
+
+
+@pytest.mark.slow
 def test_bench_decode_runs_on_cpu():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "bench_decode.py"),
