@@ -65,7 +65,9 @@ def _predict_streaming(args, model, state, feat_kw, label_parser):
     step = max(1, int(args.chunk_seconds * feature.fs))
     for path in args.wavs:
         wav, _sr = read_wav(path, sr=feature.fs)
-        rec = StreamingRecognizer(model, state.params, feature)
+        rec = StreamingRecognizer(
+            model, state.params, feature, beam_width=args.beam_width
+        )
         for lo in range(0, max(len(wav), 1), step):
             rec.push(wav[lo: lo + step])
         ids = rec.finish()
@@ -154,10 +156,10 @@ def main(argv=None) -> int:
     feat_kw = json.loads(args.input_params) if args.input_params else {}
 
     if args.stream:
-        if args.on_device or args.beam_width:
+        if args.on_device:
             raise SystemExit(
-                "--stream is greedy host-featurized decoding; it excludes "
-                "--on_device and --beam_width"
+                "--stream is host-featurized decoding; it excludes "
+                "--on_device"
             )
         _predict_streaming(args, model, state, feat_kw, label_parser)
         return 0

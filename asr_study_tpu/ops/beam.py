@@ -56,20 +56,10 @@ _HASH_MULT2 = 0x85EBCA77  # murmur3 fmix constant (lane 2)
 _HASH_INIT = 1
 
 
-def _decode_single(
-    log_probs: jax.Array,   # [T, V] log-softmax, blank = V-1
-    length: jax.Array,      # scalar int
-    beam_width: int,
-    blank_id: int,
-    pad_id: int,
-    prune: int = 0,         # 0 = exact; else expand only the per-frame
-                            # top-`prune` characters (standard pruning)
-):
-    t_max, vocab = log_probs.shape
-    n_char = vocab - 1                      # extensions exclude the blank
-    n_ext = n_char if prune <= 0 else min(prune, n_char)
+def beam_stream_init(beam_width: int):
+    """Initial beam-scan carry (also the chunk-to-chunk streaming state):
+    (lengths, last_char, p_blank, p_nonblank, hash_lane1, hash_lane2)."""
     w_idx = jnp.arange(beam_width)
-
     lengths0 = jnp.zeros((beam_width,), jnp.int32)
     last0 = jnp.full((beam_width,), -1, jnp.int32)
     # Beam 0 = the empty prefix; the rest are dead placeholders with distinct
@@ -82,6 +72,15 @@ def _decode_single(
     hash0b = (jnp.uint32(0xBEEF0000) + w_idx.astype(jnp.uint32)).at[0].set(
         _HASH_INIT
     )
+    return (lengths0, last0, p_b0, p_nb0, hash0, hash0b)
+
+
+def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int):
+    """The per-frame beam-update closure shared by the batch decoder and
+    the streaming chunk decoder."""
+    n_char = vocab - 1                      # extensions exclude the blank
+    n_ext = n_char if prune <= 0 else min(prune, n_char)
+    w_idx = jnp.arange(beam_width)
 
     def step(state, inp):
         lengths, last, p_b, p_nb, hashes, hashes2 = state
@@ -161,22 +160,24 @@ def _decode_single(
         )
         return state, (bp_parent, bp_char)
 
-    frame_valid = jnp.arange(t_max) < length
-    state, (bp_parent, bp_char) = jax.lax.scan(
-        step,
-        (lengths0, last0, p_b0, p_nb0, hash0, hash0b),
-        (log_probs, frame_valid),
-    )
-    lengths, last, p_b, p_nb, _, _ = state
+    return step
 
-    # --- materialize prefixes from backpointers (outside the hot scan):
+
+def _materialize(bp_parent, bp_char, pad_id: int):
+    """Backpointer rows [T, W] -> (prefixes [W, T], emit_counts [W],
+    start_slots [W]).  ``start_slots[w]`` is the beam slot at the START of
+    this span that final beam ``w`` descends from — the thread a streaming
+    caller uses to splice chunk outputs onto its carried prefixes."""
+    t_max, beam_width = bp_parent.shape
+    w_idx = jnp.arange(beam_width)
+
     # walk slots backward, then one masked scatter places each emitted
-    # char at its cumulative position -----------------------------------
+    # char at its cumulative position
     def back(slots, inp):
         par_t, chr_t = inp
         return par_t[slots], chr_t[slots]
 
-    _, rev_chars = jax.lax.scan(
+    start_slots, rev_chars = jax.lax.scan(
         back, w_idx, (bp_parent[::-1], bp_char[::-1])
     )
     chars_tw = rev_chars[::-1]                               # [T, W]
@@ -187,6 +188,52 @@ def _decode_single(
     prefixes = prefixes.at[
         jnp.broadcast_to(w_idx[None, :], (t_max, beam_width)), scat_pos
     ].set(chars_tw, mode="drop")
+    return prefixes, jnp.sum(emitted, axis=0), start_slots
+
+
+def beam_stream_chunk(
+    log_probs: jax.Array,   # [t, V] log-softmax for one chunk
+    valid: jax.Array,       # [t] bool frame mask
+    state,                  # from beam_stream_init / the previous chunk
+    beam_width: int,
+    blank_id: int,
+    prune: int = 0,
+    pad_id: int = -1,
+):
+    """Advance the beam over one chunk (streaming form of the decoder).
+
+    -> (state, chunk_prefixes [W, t], chunk_emits [W], start_slots [W],
+    scores [W]): beam ``w`` extends the PREVIOUS chunk's beam
+    ``start_slots[w]`` with ``chunk_prefixes[w, :chunk_emits[w]]``.
+    Beams are NOT score-ordered (ordering would break the slot threading);
+    order by ``scores`` only at end-of-stream.
+    """
+    step = _make_step(beam_width, blank_id, log_probs.shape[-1], prune)
+    state, (bp_parent, bp_char) = jax.lax.scan(
+        step, state, (log_probs, valid)
+    )
+    prefixes, emits, start_slots = _materialize(bp_parent, bp_char, pad_id)
+    scores = _logadd(state[2], state[3])
+    return state, prefixes, emits, start_slots, scores
+
+
+def _decode_single(
+    log_probs: jax.Array,   # [T, V] log-softmax, blank = V-1
+    length: jax.Array,      # scalar int
+    beam_width: int,
+    blank_id: int,
+    pad_id: int,
+    prune: int = 0,         # 0 = exact; else expand only the per-frame
+                            # top-`prune` characters (standard pruning)
+):
+    t_max, vocab = log_probs.shape
+    step = _make_step(beam_width, blank_id, vocab, prune)
+    frame_valid = jnp.arange(t_max) < length
+    state, (bp_parent, bp_char) = jax.lax.scan(
+        step, beam_stream_init(beam_width), (log_probs, frame_valid)
+    )
+    lengths, last, p_b, p_nb, _, _ = state
+    prefixes, _emits, _start = _materialize(bp_parent, bp_char, pad_id)
 
     scores = _logadd(p_b, p_nb)
     order = jnp.argsort(-scores)

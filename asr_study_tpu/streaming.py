@@ -243,6 +243,63 @@ class GreedyStream:
             self._prev = tok
 
 
+class BeamStream:
+    """Streaming CTC prefix beam search: the dense beam state
+    (ops/beam.py) carries across chunks; decoded prefixes are spliced on
+    the host from each chunk's backpointer reconstruction."""
+
+    def __init__(self, blank_id: int, beam_width: int = 16,
+                 prune: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from asr_study_tpu.ops import beam as beam_ops
+
+        self.blank_id = blank_id
+        self.beam_width = beam_width
+        self._state = beam_ops.beam_stream_init(beam_width)
+        self._prefixes: List[List[int]] = [[] for _ in range(beam_width)]
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def chunk(log_its, valid, state):
+            lp = jax.nn.log_softmax(log_its, axis=-1)
+            return beam_ops.beam_stream_chunk(
+                lp, valid, state, beam_width, blank_id, prune
+            )
+
+        self._chunk = chunk
+        self._jnp = jnp
+
+    def push(self, logits: np.ndarray, n_valid: Optional[int] = None
+             ) -> None:
+        """logits [t, V+1] for the new frames (blank = last id)."""
+        t = len(logits)
+        if t == 0:
+            return
+        valid = np.arange(t) < (t if n_valid is None else n_valid)
+        self._state, pref, emits, slots, _ = self._chunk(
+            self._jnp.asarray(logits), self._jnp.asarray(valid),
+            self._state,
+        )
+        pref = np.asarray(pref)
+        emits = np.asarray(emits)
+        slots = np.asarray(slots)
+        self._prefixes = [
+            self._prefixes[slots[w]] + pref[w, : emits[w]].tolist()
+            for w in range(self.beam_width)
+        ]
+
+    @property
+    def ids(self) -> List[int]:
+        scores = np.asarray(
+            np.logaddexp(np.asarray(self._state[2]),
+                         np.asarray(self._state[3]))
+        )
+        return self._prefixes[int(np.argmax(scores))]
+
+
 class StreamingRecognizer:
     """wav chunks in, transcript ids out — bounded memory at any length.
 
@@ -252,7 +309,8 @@ class StreamingRecognizer:
     """
 
     def __init__(self, model, params, feature: audio.Feature,
-                 chunk_frames: int = 512):
+                 chunk_frames: int = 512, beam_width: int = 0,
+                 prune: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -268,7 +326,10 @@ class StreamingRecognizer:
         self.feat = StreamingFeaturizer(feature)
         self.chunk_frames = chunk_frames
         self.carries = model.init_stream_carries(1)
-        self.decoder = GreedyStream(model.blank_id)
+        self.decoder = (
+            BeamStream(model.blank_id, beam_width, prune)
+            if beam_width > 0 else GreedyStream(model.blank_id)
+        )
         self._pending = np.zeros((0, feature.num_feats), np.float32)
 
         @jax.jit

@@ -133,6 +133,73 @@ def test_greedy_stream_matches_batch_decode():
     assert gs.ids == ref
 
 
+@pytest.mark.parametrize("chunk", [7, 16, 50])
+def test_beam_stream_matches_batch_beam(chunk):
+    """Chunked prefix beam search == the batch decoder's best path, for
+    chunk sizes below/at/above the utterance length."""
+    from asr_study_tpu.ops.beam import beam_search_decode
+    from asr_study_tpu.streaming import BeamStream
+
+    rng = np.random.default_rng(4)
+    t, v, w = 50, 8, 8
+    logits = (2.0 * rng.standard_normal((1, t, v))).astype(np.float32)
+    dec, lens, scores = beam_search_decode(
+        jnp.asarray(logits), jnp.asarray([t], jnp.int32),
+        beam_width=w, blank_id=v - 1,
+    )
+    ref = list(np.asarray(dec)[0, 0, : int(np.asarray(lens)[0, 0])])
+
+    bs = BeamStream(blank_id=v - 1, beam_width=w)
+    for lo in range(0, t, chunk):
+        bs.push(logits[0, lo: lo + chunk])
+    assert bs.ids == ref
+
+
+def test_beam_stream_respects_valid_mask():
+    """Padded tail frames must not advance the beam."""
+    from asr_study_tpu.streaming import BeamStream
+
+    rng = np.random.default_rng(5)
+    t, v, w = 20, 6, 4
+    logits = (2.0 * rng.standard_normal((t, v))).astype(np.float32)
+    a = BeamStream(blank_id=v - 1, beam_width=w)
+    a.push(logits)
+    b = BeamStream(blank_id=v - 1, beam_width=w)
+    b.push(np.vstack([logits, rng.standard_normal((9, v)).astype(
+        np.float32)]), n_valid=t)
+    assert a.ids == b.ids
+
+
+def test_streaming_recognizer_beam_matches_batch():
+    from asr_study_tpu.ops.beam import beam_search_decode
+
+    feature = MFCC(d=True, dd=True)
+    model = build_model(
+        "deep_gru",
+        {"num_hiddens": 16, "num_layers": 1, "bidirectional": False,
+         "dropout": 0.0},
+        num_classes=5,
+    )
+    params = model.init(jax.random.PRNGKey(0), feature.num_feats)
+    wav = _wav(seconds=1.1, seed=7)
+    feats = feature(wav)
+    logits = model.apply(
+        params, jnp.asarray(feats)[None],
+        jnp.asarray([len(feats)], jnp.int32), train=False,
+    )
+    dec, lens, _ = beam_search_decode(
+        logits, jnp.asarray([len(feats)], jnp.int32),
+        beam_width=4, blank_id=model.blank_id,
+    )
+    ref = list(np.asarray(dec)[0, 0, : int(np.asarray(lens)[0, 0])])
+
+    rec = StreamingRecognizer(model, params, feature, chunk_frames=32,
+                              beam_width=4)
+    for c in _chunks(wav, (5000,)):
+        rec.push(c)
+    assert rec.finish() == ref
+
+
 def test_streaming_recognizer_matches_batch_pipeline():
     """Whole streaming stack == featurize-then-decode, chunk size chosen
     to force several jitted steps plus a ragged tail."""
