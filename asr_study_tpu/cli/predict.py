@@ -59,10 +59,37 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def _predict_streaming(args, model, state, feat_kw, label_parser):
     from asr_study_tpu.features.wav import read_wav
-    from asr_study_tpu.streaming import StreamingRecognizer
+    from asr_study_tpu.streaming import (
+        MultiStreamRecognizer, StreamingRecognizer,
+    )
 
     feature = get_from_module("feature", args.input_parser)(**feat_kw)
     step = max(1, int(args.chunk_seconds * feature.fs))
+
+    def emit(path, ids):
+        print(json.dumps({
+            "file": path,
+            "transcript": label_parser.imap(np.asarray(ids, np.int32)),
+        }))
+
+    if len(args.wavs) > 1 and args.beam_width == 0:
+        # many files: decode them as CONCURRENT streams — one jitted
+        # step per tick over the whole batch (the serving shape)
+        wavs = [read_wav(p, sr=feature.fs)[0] for p in args.wavs]
+        multi = MultiStreamRecognizer(
+            model, state.params, feature, n_streams=len(wavs)
+        )
+        offs = [0] * len(wavs)
+        while any(o < len(w) for o, w in zip(offs, wavs)):
+            for i, w in enumerate(wavs):
+                if offs[i] < len(w):
+                    multi.push(i, w[offs[i]: offs[i] + step])
+                    offs[i] += step
+            multi.tick()
+        for i, path in enumerate(args.wavs):
+            emit(path, multi.finish(i))
+        return
+
     for path in args.wavs:
         wav, _sr = read_wav(path, sr=feature.fs)
         rec = StreamingRecognizer(
@@ -70,11 +97,7 @@ def _predict_streaming(args, model, state, feat_kw, label_parser):
         )
         for lo in range(0, max(len(wav), 1), step):
             rec.push(wav[lo: lo + step])
-        ids = rec.finish()
-        print(json.dumps({
-            "file": path,
-            "transcript": label_parser.imap(np.asarray(ids, np.int32)),
-        }))
+        emit(path, rec.finish())
 
 
 def _decode(logits, lengths, beam_width: int, blank_id: int):

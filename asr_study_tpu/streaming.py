@@ -300,6 +300,98 @@ class BeamStream:
         return self._prefixes[int(np.argmax(scores))]
 
 
+class MultiStreamRecognizer:
+    """N concurrent audio streams decoded by ONE jitted program per tick —
+    the production-serving shape: the batch dimension carries independent
+    callers, per-stream recurrent state rides the same carries, and a
+    stream with no ready frames this tick passes a zero length (the
+    masked scan holds its state exactly).
+
+    push(stream, samples) buffers audio per stream; tick() runs one
+    [N, chunk_frames, F] model step over whatever is ready; finish(stream)
+    flushes that stream and returns its ids.  Greedy decoding per stream.
+    """
+
+    def __init__(self, model, params, feature: audio.Feature,
+                 n_streams: int, chunk_frames: int = 128):
+        import jax
+        import jax.numpy as jnp
+
+        if any(l.bidirectional for l in model.rnn.layers):
+            raise ValueError(
+                "streaming needs a unidirectional model; train with "
+                '--params "bidirectional=false"'
+            )
+        self.model = model
+        self.params = params
+        self.n = n_streams
+        self.chunk_frames = chunk_frames
+        self.feature = feature
+        self.feats = [StreamingFeaturizer(feature) for _ in range(n_streams)]
+        self.carries = model.init_stream_carries(n_streams)
+        self.decoders = [GreedyStream(model.blank_id)
+                         for _ in range(n_streams)]
+        self._pending = [
+            np.zeros((0, feature.num_feats), np.float32)
+            for _ in range(n_streams)
+        ]
+        self._done = [False] * n_streams
+
+        @jax.jit
+        def step(params, feats, n_valid, carries):
+            return model.apply_streaming(params, feats, n_valid, carries)
+
+        self._step = step
+        self._jnp = jnp
+
+    def push(self, stream: int, samples: np.ndarray) -> None:
+        assert not self._done[stream], "push() after finish()"
+        rows = self.feats[stream].push(samples)
+        if len(rows):
+            self._pending[stream] = (
+                np.vstack([self._pending[stream], rows])
+                if len(self._pending[stream]) else rows
+            )
+
+    def tick(self) -> None:
+        """One jitted step over every stream's ready frames (up to
+        chunk_frames each; streams with nothing ready hold state)."""
+        cf = self.chunk_frames
+        f_dim = self.feature.num_feats
+        batch = np.zeros((self.n, cf, f_dim), np.float32)
+        n_valid = np.zeros((self.n,), np.int32)
+        for s in range(self.n):
+            k = min(cf, len(self._pending[s]))
+            if k:
+                batch[s, :k] = self._pending[s][:k]
+                self._pending[s] = self._pending[s][k:]
+                n_valid[s] = k
+        if not n_valid.any():
+            return
+        logits, self.carries = self._step(
+            self.params, self._jnp.asarray(batch),
+            self._jnp.asarray(n_valid), self.carries,
+        )
+        logits = np.asarray(logits)
+        for s in range(self.n):
+            if n_valid[s]:
+                self.decoders[s].push(logits[s, : n_valid[s]])
+
+    def finish(self, stream: int) -> List[int]:
+        """Flush one stream (others keep running) and return its ids."""
+        assert not self._done[stream]
+        rows = self.feats[stream].finish()
+        if len(rows):
+            self._pending[stream] = (
+                np.vstack([self._pending[stream], rows])
+                if len(self._pending[stream]) else rows
+            )
+        while len(self._pending[stream]):
+            self.tick()
+        self._done[stream] = True
+        return self.decoders[stream].ids
+
+
 class StreamingRecognizer:
     """wav chunks in, transcript ids out — bounded memory at any length.
 

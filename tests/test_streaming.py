@@ -200,6 +200,46 @@ def test_streaming_recognizer_beam_matches_batch():
     assert rec.finish() == ref
 
 
+def test_multi_stream_recognizer_matches_independent_streams():
+    """Three interleaved concurrent streams (different lengths) must each
+    decode exactly as an independent single-stream recognizer — idle
+    streams hold their state through the masked batch step."""
+    from asr_study_tpu.streaming import MultiStreamRecognizer
+
+    feature = MFCC(d=True, dd=True)
+    model = build_model(
+        "deep_gru",
+        {"num_hiddens": 16, "num_layers": 2, "bidirectional": False,
+         "dropout": 0.0},
+        num_classes=5,
+    )
+    params = model.init(jax.random.PRNGKey(0), feature.num_feats)
+    wavs = [_wav(seconds=s, seed=i) for i, s in enumerate((0.9, 1.4, 0.6))]
+
+    refs = []
+    for w in wavs:
+        rec = StreamingRecognizer(model, params, feature, chunk_frames=16)
+        rec.push(w)
+        refs.append(rec.finish())
+
+    multi = MultiStreamRecognizer(model, params, feature, n_streams=3,
+                                  chunk_frames=16)
+    # interleave pushes of different sizes; tick between them
+    offs = [0, 0, 0]
+    sizes = (3000, 5000, 2000)
+    while any(offs[i] < len(wavs[i]) for i in range(3)):
+        for i in range(3):
+            if offs[i] < len(wavs[i]):
+                multi.push(i, wavs[i][offs[i]: offs[i] + sizes[i]])
+                offs[i] += sizes[i]
+        multi.tick()
+    got = [None, None, None]
+    got[2] = multi.finish(2)    # finish out of order: others keep running
+    got[0] = multi.finish(0)
+    got[1] = multi.finish(1)
+    assert got == refs
+
+
 def test_streaming_recognizer_matches_batch_pipeline():
     """Whole streaming stack == featurize-then-decode, chunk size chosen
     to force several jitted steps plus a ragged tail."""
