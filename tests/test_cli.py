@@ -46,6 +46,39 @@ def test_make_dataset_main(tmp_path, capsys):
     assert all("label" in u and "audio" in u for u in manifest)
 
 
+def test_export_weights_roundtrip(tmp_path):
+    """extras/export_weights.py: run dir -> single npz, bit-exact."""
+    import numpy as np
+
+    from asr_study_tpu.cli.train import main as train_main
+    from extras.export_weights import main as export_main
+
+    out = str(tmp_path / "d.h5")
+    rc = make_dataset_main([
+        "--parser", "dummy", "--dataset_dir", str(tmp_path / "corpus"),
+        "--output", out, "--input_parser", "mfcc",
+    ])
+    assert rc == 0
+    rc = train_main([
+        "--platform", "cpu", "--dataset", out,
+        "--model", "graves2006", "--params", "num_hiddens=8",
+        "--epochs", "1", "--batch_size", "10", "--num_devices", "1",
+        "--save", str(tmp_path / "run"),
+    ])
+    assert rc == 0
+    npz = str(tmp_path / "m.npz")
+    rc = export_main([
+        "--save", str(tmp_path / "run"), "--output", npz, "--verify",
+    ])
+    assert rc == 0
+    with np.load(npz) as z:
+        import json as _json
+
+        meta = _json.loads(str(z["__meta__"]))
+        assert meta["model"] == "graves2006"
+        assert any(k.endswith("/wx") for k in z.files)
+
+
 def test_make_dataset_packed_layout(tmp_path):
     out = str(tmp_path / "d.h5")
     rc = make_dataset_main([
