@@ -354,7 +354,11 @@ def _sleep_and_reexec(e: BaseException) -> None:
     import time
 
     n = int(os.environ.get("ASR_BENCH_TPU_RETRY", "0"))
-    max_n = int(os.environ.get("ASR_BENCH_TPU_RETRIES", "6"))
+    # Each failed init burns ~25 min inside the plugin before erroring, so
+    # 10 retries ≈ 4.5 h of patience — chosen to outlast the LONGEST
+    # observed backend outage (2026-08-17: >4.5 h; 2026-08-18: >3 h).  A
+    # slow bench beats an absent one; set ASR_BENCH_TPU_RETRIES to trim.
+    max_n = int(os.environ.get("ASR_BENCH_TPU_RETRIES", "10"))
     if n >= max_n:
         raise e
     print(
