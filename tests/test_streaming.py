@@ -78,10 +78,15 @@ def test_streaming_featurizer_rejects_cmvn_and_raw():
         StreamingFeaturizer(Raw())
 
 
-def test_apply_streaming_matches_apply():
-    """Chunked model forward with carried state == one-shot forward."""
+@pytest.mark.parametrize("model_name", [
+    "deep_gru", "deep_blstm", "ln_blstm", "mi_blstm", "zoneout_blstm",
+    "highway_blstm",
+])
+def test_apply_streaming_matches_apply(model_name):
+    """Chunked model forward with carried state == one-shot forward, for
+    every signature cell (unidirectional configs) incl. skip stacking."""
     model = build_model(
-        "deep_gru",
+        model_name,
         {"num_hiddens": 16, "num_layers": 2, "bidirectional": False,
          "dropout": 0.0},
         num_classes=5,
