@@ -76,6 +76,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--keep_ratio", type=float, default=0.6,
                    help="static frame budget for --blank_collapse as a "
                         "fraction of T; overflowing utterances are reported")
+    p.add_argument("--lm", default=None,
+                   help="char n-gram LM (.npz from train_lm) for "
+                        "shallow fusion; needs --beam_width > 0")
+    p.add_argument("--lm_alpha", type=float, default=0.8,
+                   help="LM weight in the fused beam score")
+    p.add_argument("--lm_beta", type=float, default=0.0,
+                   help="per-character insertion bonus with --lm")
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel eval over N devices (0/1 = single "
                         "device); batch_size must divide by N")
@@ -121,6 +128,14 @@ def main(argv=None) -> int:
     # the Trainer.  NOT jit-with-shardings: the Pallas recurrence kernels
     # (the default TPU backend) have no GSPMD partitioning rule, so each
     # device must trace its own local-shape program.
+    lm = None
+    if args.lm:
+        if args.beam_width <= 0:
+            raise SystemExit("--lm requires --beam_width > 0")
+        from asr_study_tpu.text.lm import CharNGramLM
+
+        lm = CharNGramLM.load(args.lm)
+
     n_dev = args.num_devices or 1
     mesh = None
     if n_dev > 1:
@@ -163,6 +178,7 @@ def main(argv=None) -> int:
             dec, lens, _ = beam_search_decode(
                 dec_logits, dec_lengths, beam_width=args.beam_width,
                 blank_id=model.blank_id, prune=args.beam_prune,
+                lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
             )
             dec, lens = dec[:, 0], lens[:, 0]
         else:
@@ -224,8 +240,12 @@ def main(argv=None) -> int:
         "loss": tot_loss / max(tot_n, 1),
         "cer": cer(hyps, refs),
         "wer": wer(hyps, refs),
-        "decoder": f"beam{args.beam_width}" if args.beam_width else "greedy",
+        "decoder": (f"beam{args.beam_width}" + ("+lm" if lm else ""))
+        if args.beam_width else "greedy",
     }
+    if lm is not None:
+        results["lm"] = {"path": args.lm, "order": lm.order,
+                         "alpha": args.lm_alpha, "beta": args.lm_beta}
     if args.blank_collapse > 0:
         results["blank_collapse_overflow_utts"] = overflow_utts
     if args.dump:

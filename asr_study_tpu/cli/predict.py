@@ -35,6 +35,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--input_params", default=None,
                    help='feature kwargs as JSON, e.g. \'{"d": true}\'')
     p.add_argument("--beam_width", type=int, default=0)
+    p.add_argument("--lm", default=None,
+                   help="char n-gram LM (.npz from train_lm) for "
+                        "shallow fusion; needs --beam_width > 0")
+    p.add_argument("--lm_alpha", type=float, default=0.8)
+    p.add_argument("--lm_beta", type=float, default=0.0)
     p.add_argument("--best", action="store_true")
     p.add_argument("--on_device", action="store_true",
                    help="extract features on the accelerator (fused "
@@ -57,7 +62,7 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def _predict_streaming(args, model, state, feat_kw, label_parser):
+def _predict_streaming(args, model, state, feat_kw, label_parser, lm=None):
     from asr_study_tpu.features.wav import read_wav
     from asr_study_tpu.streaming import (
         MultiStreamRecognizer, StreamingRecognizer,
@@ -93,24 +98,27 @@ def _predict_streaming(args, model, state, feat_kw, label_parser):
     for path in args.wavs:
         wav, _sr = read_wav(path, sr=feature.fs)
         rec = StreamingRecognizer(
-            model, state.params, feature, beam_width=args.beam_width
+            model, state.params, feature, beam_width=args.beam_width,
+            lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
         )
         for lo in range(0, max(len(wav), 1), step):
             rec.push(wav[lo: lo + step])
         emit(path, rec.finish())
 
 
-def _decode(logits, lengths, beam_width: int, blank_id: int):
-    """Greedy or best-path beam decode; jit-safe."""
+def _decode(logits, lengths, beam_width: int, blank_id: int,
+            lm=None, lm_alpha: float = 1.0, lm_beta: float = 0.0):
+    """Greedy or best-path beam decode (optional LM fusion); jit-safe."""
     if beam_width > 0:
         dec, lens, _ = beam_search_decode(
             logits, lengths, beam_width=beam_width, blank_id=blank_id,
+            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
         )
         return dec[:, 0], lens[:, 0]
     return greedy_decode(logits, lengths, blank_id=blank_id)
 
 
-def _predict_on_device(args, model, state, feat_kw):
+def _predict_on_device(args, model, state, feat_kw, lm=None):
     """Ragged wire -> device features -> model -> decode, one jit."""
     from asr_study_tpu.data import wire
     from asr_study_tpu.features.select import featurizer_candidates
@@ -130,7 +138,8 @@ def _predict_on_device(args, model, state, feat_kw):
             feats, feat_lengths = featurizer._transform(w, lens)
             logits = model.apply(params, feats, feat_lengths, train=False)
             return _decode(
-                logits, feat_lengths, args.beam_width, model.blank_id
+                logits, feat_lengths, args.beam_width, model.blank_id,
+                lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
             )
         return serve
 
@@ -178,16 +187,24 @@ def main(argv=None) -> int:
 
     feat_kw = json.loads(args.input_params) if args.input_params else {}
 
+    lm = None
+    if args.lm:
+        if args.beam_width <= 0:
+            raise SystemExit("--lm requires --beam_width > 0")
+        from asr_study_tpu.text.lm import CharNGramLM
+
+        lm = CharNGramLM.load(args.lm)
+
     if args.stream:
         if args.on_device:
             raise SystemExit(
                 "--stream is host-featurized decoding; it excludes "
                 "--on_device"
             )
-        _predict_streaming(args, model, state, feat_kw, label_parser)
+        _predict_streaming(args, model, state, feat_kw, label_parser, lm)
         return 0
     if args.on_device:
-        dec, lens = _predict_on_device(args, model, state, feat_kw)
+        dec, lens = _predict_on_device(args, model, state, feat_kw, lm)
     else:
         feature = get_from_module("feature", args.input_parser)(**feat_kw)
         feats = [feature(w).astype(np.float32) for w in args.wavs]
@@ -201,7 +218,9 @@ def main(argv=None) -> int:
         @jax.jit
         def serve(p, x, l):
             logits = model.apply(p, x, l, train=False)
-            return _decode(logits, l, args.beam_width, model.blank_id)
+            return _decode(logits, l, args.beam_width, model.blank_id,
+                           lm=lm, lm_alpha=args.lm_alpha,
+                           lm_beta=args.lm_beta)
 
         dec, lens = serve(state.params, batch, lengths)
     dec, lens = np.asarray(dec), np.asarray(lens)

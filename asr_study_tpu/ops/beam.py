@@ -56,9 +56,12 @@ _HASH_MULT2 = 0x85EBCA77  # murmur3 fmix constant (lane 2)
 _HASH_INIT = 1
 
 
-def beam_stream_init(beam_width: int):
+def beam_stream_init(beam_width: int, lm_state0: int = 0):
     """Initial beam-scan carry (also the chunk-to-chunk streaming state):
-    (lengths, last_char, p_blank, p_nonblank, hash_lane1, hash_lane2)."""
+    (lengths, last_char, p_blank, p_nonblank, hash_lane1, hash_lane2,
+    lm_state).  ``lm_state0`` is the LM's start context
+    (``CharNGramLM.init_state()``); it rides along as zeros when no LM is
+    fused."""
     w_idx = jnp.arange(beam_width)
     lengths0 = jnp.zeros((beam_width,), jnp.int32)
     last0 = jnp.full((beam_width,), -1, jnp.int32)
@@ -72,18 +75,40 @@ def beam_stream_init(beam_width: int):
     hash0b = (jnp.uint32(0xBEEF0000) + w_idx.astype(jnp.uint32)).at[0].set(
         _HASH_INIT
     )
-    return (lengths0, last0, p_b0, p_nb0, hash0, hash0b)
+    lm0 = jnp.full((beam_width,), lm_state0, jnp.int32)
+    return (lengths0, last0, p_b0, p_nb0, hash0, hash0b, lm0)
 
 
-def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int):
+def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
+               lm_logp=None, lm_order: int = 0,
+               lm_alpha: float = 1.0, lm_beta: float = 0.0):
     """The per-frame beam-update closure shared by the batch decoder and
-    the streaming chunk decoder."""
+    the streaming chunk decoder.
+
+    With ``lm_logp`` ([S, vocab-1] dense char-n-gram table, see
+    text/lm.py), every extension candidate's score gains
+    ``lm_alpha * log p_lm(c | context) + lm_beta`` — classic shallow
+    fusion (Hannun et al. 2014).  The LM term folds directly into the
+    extension's p_nonblank, so merges, top-k and the returned scores all
+    rank by the combined acoustic+LM objective; candidates denoting the
+    same string carry identical LM mass, which keeps the stay==extend
+    merge logadd exact.  The carried per-beam LM context updates with the
+    base-C digit shift shared with ``CharNGramLM.next_state``.
+    """
     n_char = vocab - 1                      # extensions exclude the blank
     n_ext = n_char if prune <= 0 else min(prune, n_char)
     w_idx = jnp.arange(beam_width)
+    if lm_logp is not None:
+        if lm_logp.shape[1] != n_char:
+            raise ValueError(
+                f"LM alphabet {lm_logp.shape[1]} != decoder's {n_char} "
+                "(the LM must be fit on the same label vocabulary, "
+                "blank excluded)"
+            )
+        lm_mod = n_char ** max(lm_order - 2, 0)
 
     def step(state, inp):
-        lengths, last, p_b, p_nb, hashes, hashes2 = state
+        lengths, last, p_b, p_nb, hashes, hashes2, lm_state = state
         lp, valid = inp                                      # [V], scalar
         lp_blank = lp[blank_id]
         if n_ext < n_char:
@@ -104,9 +129,14 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int):
         # extend with char c: via-blank only if c == last, else from both
         lp_c = lp_c_1d[None, :]                              # [1, E]
         is_last = chars[None, :] == last[:, None]            # [W, E]
-        ext_pnb = (
+        ext_pnb_2d = (
             jnp.where(is_last, p_b[:, None], p_tot[:, None]) + lp_c
-        ).reshape(-1)                                        # [W*E]
+        )                                                    # [W, E]
+        if lm_logp is not None:
+            ctx_rows = jnp.take(lm_logp, lm_state, axis=0)   # [W, C]
+            lm_lp = jnp.take(ctx_rows, chars, axis=1)        # [W, E]
+            ext_pnb_2d = ext_pnb_2d + lm_alpha * lm_lp + lm_beta
+        ext_pnb = ext_pnb_2d.reshape(-1)                     # [W*E]
         ext_h1 = (
             hashes[:, None] * jnp.uint32(_HASH_MULT)
             + (chars[None, :] + 1).astype(jnp.uint32)
@@ -145,9 +175,16 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int):
         )
         new_h1 = jnp.where(is_stay, hashes[parent], ext_h1[eflat])
         new_h2 = jnp.where(is_stay, hashes2[parent], ext_h2[eflat])
+        if lm_logp is not None and lm_order >= 2:
+            ext_lm = (
+                (lm_state[:, None] % lm_mod) * n_char + chars[None, :]
+            ).reshape(-1).astype(jnp.int32)                  # [W*E]
+            new_lm = jnp.where(is_stay, lm_state[parent], ext_lm[eflat])
+        else:
+            new_lm = lm_state[parent]
 
         new_state = (
-            new_lengths, new_last, new_pb, new_pnb, new_h1, new_h2
+            new_lengths, new_last, new_pb, new_pnb, new_h1, new_h2, new_lm
         )
         # padded frames: carry state through unchanged, emit no char and
         # identity backpointers (the reconstruction walks through them)
@@ -199,6 +236,9 @@ def beam_stream_chunk(
     blank_id: int,
     prune: int = 0,
     pad_id: int = -1,
+    lm=None,
+    lm_alpha: float = 1.0,
+    lm_beta: float = 0.0,
 ):
     """Advance the beam over one chunk (streaming form of the decoder).
 
@@ -207,8 +247,17 @@ def beam_stream_chunk(
     ``start_slots[w]`` with ``chunk_prefixes[w, :chunk_emits[w]]``.
     Beams are NOT score-ordered (ordering would break the slot threading);
     order by ``scores`` only at end-of-stream.
+
+    ``lm`` (a ``text.lm.CharNGramLM``) enables shallow fusion; the initial
+    ``state`` must then come from
+    ``beam_stream_init(W, lm.init_state())``.
     """
-    step = _make_step(beam_width, blank_id, log_probs.shape[-1], prune)
+    step = _make_step(
+        beam_width, blank_id, log_probs.shape[-1], prune,
+        lm_logp=None if lm is None else jnp.asarray(lm.logp),
+        lm_order=0 if lm is None else lm.order,
+        lm_alpha=lm_alpha, lm_beta=lm_beta,
+    )
     state, (bp_parent, bp_char) = jax.lax.scan(
         step, state, (log_probs, valid)
     )
@@ -225,14 +274,26 @@ def _decode_single(
     pad_id: int,
     prune: int = 0,         # 0 = exact; else expand only the per-frame
                             # top-`prune` characters (standard pruning)
+    lm=None,
+    lm_alpha: float = 1.0,
+    lm_beta: float = 0.0,
 ):
     t_max, vocab = log_probs.shape
-    step = _make_step(beam_width, blank_id, vocab, prune)
+    step = _make_step(
+        beam_width, blank_id, vocab, prune,
+        lm_logp=None if lm is None else jnp.asarray(lm.logp),
+        lm_order=0 if lm is None else lm.order,
+        lm_alpha=lm_alpha, lm_beta=lm_beta,
+    )
     frame_valid = jnp.arange(t_max) < length
     state, (bp_parent, bp_char) = jax.lax.scan(
-        step, beam_stream_init(beam_width), (log_probs, frame_valid)
+        step,
+        beam_stream_init(
+            beam_width, 0 if lm is None else lm.init_state()
+        ),
+        (log_probs, frame_valid),
     )
-    lengths, last, p_b, p_nb, _, _ = state
+    lengths, last, p_b, p_nb = state[:4]
     prefixes, _emits, _start = _materialize(bp_parent, bp_char, pad_id)
 
     scores = _logadd(p_b, p_nb)
@@ -248,6 +309,9 @@ def beam_search_decode(
     pad_id: int = -1,
     top_paths: int = 1,
     prune: int = 0,
+    lm=None,
+    lm_alpha: float = 1.0,
+    lm_beta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """CTC prefix beam search over a batch.
 
@@ -259,6 +323,12 @@ def beam_search_decode(
     (standard prefix-beam pruning): candidate count drops from
     W*(1+|V|-1) to W*(1+prune), a large speedup at negligible accuracy
     cost when the acoustic posteriors are peaked.
+
+    ``lm`` (a ``text.lm.CharNGramLM`` over the label alphabet, blank
+    excluded) enables shallow fusion: beams rank by
+    ``log p_acoustic + lm_alpha * log p_lm + lm_beta * |prefix|`` and the
+    returned scores are that combined objective.  The dense LM table rides
+    as a jit constant; pruning (acoustic top-K) composes unchanged.
     """
     vocab = logits.shape[-1]
     if blank_id is None:
@@ -270,7 +340,8 @@ def beam_search_decode(
 
     def one(lp_t, ln):
         return _decode_single(
-            lp_t, ln, beam_width, blank_id, pad_id, prune=prune
+            lp_t, ln, beam_width, blank_id, pad_id, prune=prune,
+            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
         )
 
     prefixes, lengths, scores = jax.vmap(one, in_axes=(1, 0))(

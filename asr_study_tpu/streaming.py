@@ -249,7 +249,8 @@ class BeamStream:
     the host from each chunk's backpointer reconstruction."""
 
     def __init__(self, blank_id: int, beam_width: int = 16,
-                 prune: int = 0):
+                 prune: int = 0, lm=None, lm_alpha: float = 1.0,
+                 lm_beta: float = 0.0):
         import jax
         import jax.numpy as jnp
 
@@ -257,7 +258,9 @@ class BeamStream:
 
         self.blank_id = blank_id
         self.beam_width = beam_width
-        self._state = beam_ops.beam_stream_init(beam_width)
+        self._state = beam_ops.beam_stream_init(
+            beam_width, 0 if lm is None else lm.init_state()
+        )
         self._prefixes: List[List[int]] = [[] for _ in range(beam_width)]
 
         import functools
@@ -266,7 +269,8 @@ class BeamStream:
         def chunk(log_its, valid, state):
             lp = jax.nn.log_softmax(log_its, axis=-1)
             return beam_ops.beam_stream_chunk(
-                lp, valid, state, beam_width, blank_id, prune
+                lp, valid, state, beam_width, blank_id, prune,
+                lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
             )
 
         self._chunk = chunk
@@ -402,7 +406,8 @@ class StreamingRecognizer:
 
     def __init__(self, model, params, feature: audio.Feature,
                  chunk_frames: int = 512, beam_width: int = 0,
-                 prune: int = 0):
+                 prune: int = 0, lm=None, lm_alpha: float = 1.0,
+                 lm_beta: float = 0.0):
         import jax
         import jax.numpy as jnp
 
@@ -419,7 +424,8 @@ class StreamingRecognizer:
         self.chunk_frames = chunk_frames
         self.carries = model.init_stream_carries(1)
         self.decoder = (
-            BeamStream(model.blank_id, beam_width, prune)
+            BeamStream(model.blank_id, beam_width, prune,
+                       lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)
             if beam_width > 0 else GreedyStream(model.blank_id)
         )
         self._pending = np.zeros((0, feature.num_feats), np.float32)

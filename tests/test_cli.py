@@ -154,7 +154,7 @@ def test_predict_on_device_batching(tmp_path, wire_codec):
 
     args = argparse.Namespace(
         wavs=paths, input_parser="mfcc", beam_width=0, batch_size=3,
-        wire_codec=wire_codec,
+        wire_codec=wire_codec, lm_alpha=1.0, lm_beta=0.0,
     )
     dec, lens = _predict_on_device(args, StubModel(), StubState(), {})
     assert dec.shape[0] == len(paths) and lens.shape[0] == len(paths)
@@ -238,3 +238,86 @@ def test_eval_data_parallel_matches_single(tmp_path, capsys, monkeypatch):
     outb8 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert outb8["cer"] == pytest.approx(outb1["cer"], abs=1e-9)
     assert outb8["loss"] == pytest.approx(outb1["loss"], rel=1e-5)
+
+
+def test_train_lm_and_eval_fusion(tmp_path, capsys):
+    """extras/train_lm.py -> eval --lm: fit a char LM on the dummy
+    corpus' transcripts, then run LM-fused beam eval end to end."""
+    import jax
+
+    from asr_study_tpu.cli.eval import main as eval_main
+    from asr_study_tpu.cli.train_lm import main as train_lm_main
+    from asr_study_tpu.data.corpora import Dummy
+    from asr_study_tpu.data.generator import DatasetGenerator
+    from asr_study_tpu.features.audio import MFCC
+    from asr_study_tpu.models.zoo import build_model
+    from asr_study_tpu.text.lm import CharNGramLM
+    from asr_study_tpu.text.parser import CharParser
+    from asr_study_tpu.train.checkpoint import CheckpointManager
+    from asr_study_tpu.train.trainer import Trainer, make_optimizer
+
+    h5 = str(tmp_path / "d.h5")
+    lp = CharParser()
+    Dummy(str(tmp_path / "corpus"), n=8).to_h5(h5, MFCC(), lp)
+
+    lm_path = str(tmp_path / "lm.npz")
+    rc = train_lm_main([
+        "--dataset", h5, "--splits", "train",
+        "--order", "2", "--output", lm_path, "--held_out", "test",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["num_sequences"] > 0
+    assert report["train_perplexity"] > 1.0
+    assert "held_out_perplexity" in report
+    lm = CharNGramLM.load(lm_path)
+    assert lm.n_char == lp.num_classes
+    assert lm.space_id == lp.char_to_id[" "]
+
+    it = DatasetGenerator(batch_size=8).flow_from_h5(h5, "test")
+    model = build_model(
+        "graves2006", {"num_hiddens": 8}, num_classes=lp.num_classes
+    )
+    trainer = Trainer(model, make_optimizer())
+    state = trainer.init_state(jax.random.PRNGKey(0), it.num_feats)
+    ckpt = CheckpointManager(str(tmp_path / "run"))
+    ckpt.save(state, metrics={"val_loss": 1.0}, hparams={
+        "model": "graves2006", "params": "num_hiddens=8",
+        "num_feats": it.num_feats, "num_classes": lp.num_classes,
+    })
+    ckpt.wait()
+    ckpt.close()
+
+    argv = ["--dataset", h5, "--split", "test",
+            "--save", str(tmp_path / "run"), "--batch_size", "8",
+            "--platform", "cpu", "--beam_width", "4",
+            "--lm", lm_path, "--lm_alpha", "0.5", "--lm_beta", "0.2"]
+    assert eval_main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["decoder"] == "beam4+lm"
+    assert out["lm"]["order"] == 2
+
+    # --lm without beam decoding is a loud config error
+    with pytest.raises(SystemExit):
+        eval_main(["--dataset", h5, "--split", "test",
+                   "--save", str(tmp_path / "run"), "--platform", "cpu",
+                   "--lm", lm_path])
+
+
+def test_train_lm_from_text_file(tmp_path, capsys):
+    from asr_study_tpu.cli.train_lm import main as train_lm_main
+    from asr_study_tpu.text.lm import CharNGramLM
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("ola tudo bem\ncomo vai voce\n\nnão é válido???\n")
+    out = str(tmp_path / "lm.npz")
+    rc = train_lm_main([
+        "--text", str(txt), "--order", "3", "--output", out,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the accented line normalizes cleanly ("nao e valido") but the '?'s
+    # make it invalid -> skipped; 2 valid lines remain
+    assert report["num_sequences"] == 2
+    lm = CharNGramLM.load(out)
+    assert lm.order == 3 and lm.logp.shape == (27 * 27, 27)
