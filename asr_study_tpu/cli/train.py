@@ -89,6 +89,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans (fail fast on NaN, slower)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 master weights + loss)")
+    p.add_argument("--spec_augment", nargs="?", const="", default=None,
+                   help="SpecAugment feature masking during training; "
+                        "optionally 'freq_masks=2,freq_width=8,"
+                        "time_masks=2,time_ratio=0.05' (bare flag = "
+                        "those defaults)")
     return p
 
 

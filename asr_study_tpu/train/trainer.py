@@ -151,11 +151,18 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         donate_state: bool = True,
         compute_dtype: Optional[Any] = None,
+        augment: Optional[Any] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the network forward/backward
         in bf16 (MXU-native) with f32 master weights, f32 CTC loss, and f32
-        optimizer state — classic mixed precision.  None = full f32."""
+        optimizer state — classic mixed precision.  None = full f32.
+
+        ``augment`` is an optional jittable ``(rng, inputs, input_lengths)
+        -> inputs`` callable (e.g. ``features.augment.SpecAugment``) applied
+        to the feature batch inside the train step only — on device, under
+        jit/shard_map, never at eval."""
         self.model = model
+        self.augment = augment
         # normalize to the extra-args protocol: plain transforms ignore the
         # ``value=loss`` the train step always passes (reduce_on_plateau
         # consumes it)
@@ -241,6 +248,12 @@ class Trainer:
         if self.mesh is not None:
             # decorrelate per-device dropout masks
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        if self.augment is not None:
+            # distinct stream from the dropout rng so masks decorrelate;
+            # the no-augment rng schedule is untouched (trajectory parity)
+            inputs = self.augment(
+                jax.random.fold_in(rng, 0x5A), inputs, input_lengths
+            )
 
         def loss_fn(params):
             p, x = params, inputs
