@@ -181,9 +181,16 @@ def main(argv=None) -> int:
     )
     import jax.numpy as jnp
 
+    augment = None
+    if args.spec_augment is not None:
+        from asr_study_tpu.features.augment import parse_spec_augment
+
+        augment = parse_spec_augment(args.spec_augment)
+        print(f"training with {augment}", file=sys.stderr)
     trainer = Trainer(
         model, tx, mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        augment=augment,
     )
     state = trainer.init_state(
         jax.random.PRNGKey(args.seed), train_it.num_feats
@@ -220,6 +227,7 @@ def main(argv=None) -> int:
         "bf16": args.bf16, "lr_decay": args.lr_decay,
         "early_stop": args.early_stop, "accum_steps": args.accum_steps,
         "lr_plateau": args.lr_plateau,
+        "spec_augment": args.spec_augment,
         "num_feats": train_it.num_feats,
         "num_classes": label_parser.num_classes,
     }
