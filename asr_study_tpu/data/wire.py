@@ -17,11 +17,17 @@ batch of utterances crosses the link as ONE flat int16 buffer —
 float32 waveform with per-row contiguous ``dynamic_slice`` copies
 (a [B, T]-indexed gather lowers ~8x slower on TPU v5e — BENCHMARKS.md).
 
-Two codecs (static; both ends must agree):
+Three codecs (static; both ends must agree):
 - ``pcm16`` (default): one 16-bit sample per word, lossless for PCM16.
 - ``mulaw``: 8-bit mu-law companding (mu=255, the G.711-style telephony
   curve, ~38 dB SNR), two codes per word — HALF the wire bytes for
   bandwidth-bound serving links; decode happens on device.
+- ``dpack``: LOSSLESS delta + per-block bit-packing (FLAC-style fixed
+  prediction, TPU-decodable): the batch's samples ride as one delta
+  stream split into 1024-sample blocks, each packed at its own bit
+  width.  Decoded samples are bit-identical to pcm16 at ~12-14 bits per
+  sample on speech-shaped signals.  Needs a static sample capacity
+  (``scap``) shared by both ends — see ``dpack_*`` below.
 
 Bit-exactness vs host-side padding is tested in tests/test_wire.py.
 """
@@ -56,6 +62,18 @@ def mulaw_decode_device(codes: jax.Array) -> jax.Array:
     return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * _LOG1P_MU) / _MU)
 
 
+def quantize_pcm16(w: np.ndarray) -> np.ndarray:
+    """float waveform -> int16 with round(x * 32768) saturated — the EXACT
+    inverse of the read_wav / unpack normalization k -> k/32768 (int16
+    passes through untouched)."""
+    w = np.asarray(w)
+    if w.dtype == np.int16:
+        return w
+    return np.clip(
+        np.round(w.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+
+
 def _codec_words(n_samples: int, codec: str) -> int:
     """int16 words occupied by one utterance's samples."""
     if codec == "pcm16":
@@ -80,7 +98,7 @@ def wire_cap(batch: int, total_samples: int, align: int = 2048,
 
 def pack_audio(
     wavs: Sequence[np.ndarray], cap: int, batch: int | None = None,
-    codec: str = "pcm16",
+    codec: str = "pcm16", scap: int | None = None,
 ) -> np.ndarray:
     """Pack int16/float waveforms into one flat int16 wire buffer.
 
@@ -95,6 +113,10 @@ def pack_audio(
     the compiled program.  The codec is static: pass the same value to
     ``unpack_audio``.
     """
+    if codec == "dpack":
+        if scap is None:
+            raise ValueError("codec='dpack' needs scap (see dpack_measure)")
+        return dpack_pack(wavs, cap, scap, batch=batch)
     b = batch if batch is not None else len(wavs)
     if len(wavs) > b:
         raise ValueError(f"{len(wavs)} wavs > batch {b}")
@@ -139,14 +161,19 @@ def pack_audio(
 
 
 def unpack_audio(
-    flat: jax.Array, batch: int, n_pad: int, codec: str = "pcm16"
+    flat: jax.Array, batch: int, n_pad: int, codec: str = "pcm16",
+    scap: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """flat int16 wire -> (float32 [batch, n_pad] padded wavs, lengths).
 
-    Jittable; ``batch``, ``n_pad`` and ``codec`` are static. Rows are
-    materialized by scanned contiguous dynamic-slices (DMA-friendly; see
-    module doc).
+    Jittable; ``batch``, ``n_pad``, ``codec`` (and ``scap`` for dpack) are
+    static. Rows are materialized by scanned contiguous dynamic-slices
+    (DMA-friendly; see module doc).
     """
+    if codec == "dpack":
+        if scap is None:
+            raise ValueError("codec='dpack' needs scap (see dpack_measure)")
+        return dpack_unpack(flat, batch, n_pad, scap)
     if codec not in ("pcm16", "mulaw"):
         raise ValueError(f"unknown wire codec {codec!r}")
     hdr = 2 * batch
@@ -205,3 +232,230 @@ def pack_batches(
         for g in groups
     )
     return [pack_audio(g, cap, batch=batch, codec=codec) for g in groups], cap
+
+
+# ---------------------------------------------------------------------------
+# dpack: lossless delta + per-block bit-packing (device-decodable)
+# ---------------------------------------------------------------------------
+# The TPU-native answer to "compress the serving wire losslessly"
+# [ref: predict.py serving path; the reference feeds raw numpy]: FLAC gets
+# its ratio from (a) a fixed linear predictor and (b) Rice entropy coding.
+# (a) maps to TPU directly; (b)'s variable-length codes do not — bit
+# positions become data-dependent per SAMPLE, which forces gathers (~8x
+# slower than slices on v5e, BENCHMARKS.md).  dpack keeps (a) and replaces
+# (b) with per-BLOCK fixed-width packing: within a 1024-sample block every
+# zigzagged delta is stored at the block's max bit-length, so inside a
+# block the layout is STATIC — 16 samples occupy exactly w words — and the
+# decoder is slices + shifts under a 17-way lax.switch.  Cost vs Rice:
+# ~1.3 bits/sample on speech-shaped signals (max-of-block vs per-sample
+# codes); gain: the decode is one scan over blocks, no per-sample control
+# flow.
+#
+# Wire layout (int16 words), with B = batch, NBCAP = scap // 1024:
+#   [0, 2B)            sample-length header (15-bit split, as pcm16)
+#   [2B, 2B + NBCAP)   per-block bit widths w_j in 0..16, one per word
+#   [2B + NBCAP, ...)  block payloads back to back; block j occupies
+#                      64 * w_j words (1024 samples * w_j bits / 16)
+#
+# The delta stream runs over the CONCATENATED batch samples (utterance
+# boundaries ignored; d[0] = s[0]) and is zero-padded to a block multiple.
+# Reconstruction is one int32 cumsum over the flat stream (int16
+# wraparound applied after — deltas are stored mod 2^16, so the sum is
+# exact mod 2^16 regardless of int32 overflow), then the same per-row
+# dynamic-slice extraction as pcm16.
+#
+# ``scap`` (static sample capacity, a multiple of 1024) is the decode-side
+# analog of ``cap``: both ends must agree so one compiled program serves
+# every batch.
+
+_DPACK_BLOCK = 1024
+_DPACK_GROUP = 16                       # samples per word-aligned group
+_DPACK_GPB = _DPACK_BLOCK // _DPACK_GROUP   # 64 groups per block
+
+
+def _dpack_deltas(wavs: Sequence[np.ndarray]) -> Tuple[np.ndarray, list]:
+    """Concatenated zigzagged wraparound deltas (uint32) + lengths."""
+    lens = [int(np.asarray(w).shape[0]) for w in wavs]
+    if sum(lens) == 0:
+        return np.zeros((0,), np.uint32), lens
+    s = np.concatenate([quantize_pcm16(w) for w in wavs]).astype(np.int32)
+    d = np.empty_like(s)
+    d[0] = s[0]
+    d[1:] = s[1:] - s[:-1]
+    d = ((d + 32768) & 0xFFFF) - 32768   # int16 wraparound residual
+    return (((d << 1) ^ (d >> 31)).astype(np.uint32)), lens
+
+
+def dpack_encode(
+    wavs: Sequence[np.ndarray], use_native: bool = True,
+) -> Tuple[list, np.ndarray, np.ndarray, int]:
+    """Encode to (lengths, widths uint8 [nb], payload int16, n_samples).
+
+    The C++ fast path (native/asr_native.cc::asr_dpack_encode, ~40x the
+    NumPy encoder on the 1-core host) is byte-identical to the NumPy
+    reference below (tests/test_wire.py); ``use_native=False`` forces the
+    reference path.
+    """
+    lens = [int(np.asarray(w).shape[0]) for w in wavs]
+    if use_native and sum(lens):
+        from asr_study_tpu.utils import native
+
+        samples = np.concatenate([quantize_pcm16(w) for w in wavs])
+        enc = native.dpack_encode(samples)
+        if enc is not None:
+            widths, payload = enc
+            return lens, widths, payload, samples.shape[0]
+    u, lens = _dpack_deltas(wavs)
+    n = u.shape[0]
+    nb = -(-n // _DPACK_BLOCK)
+    if nb == 0:
+        return lens, np.zeros((0,), np.uint8), np.zeros((0,), np.int16), 0
+    u = np.concatenate([u, np.zeros(nb * _DPACK_BLOCK - n, np.uint32)])
+    blocks = u.reshape(nb, _DPACK_BLOCK)
+    m = blocks.max(axis=1)
+    # bit_length of the block max (0 for all-zero blocks)
+    widths = np.zeros(nb, np.uint8)
+    for b in range(1, 17):
+        widths[m >= (1 << (b - 1))] = b
+    word_off = _DPACK_GPB * np.concatenate(
+        [[0], np.cumsum(widths.astype(np.int64))[:-1]]
+    )
+    payload = np.zeros(int(_DPACK_GPB * widths.astype(np.int64).sum()),
+                       np.uint16)
+    shift16 = (1 << np.arange(_DPACK_GROUP, dtype=np.uint32))
+    for w in range(1, 17):
+        sel = np.nonzero(widths == w)[0]
+        if sel.size == 0:
+            continue
+        v = blocks[sel].reshape(-1, _DPACK_GPB, _DPACK_GROUP)
+        # group bitstream position of sample r bit t is r*w + t: C-order
+        # flatten of [16, w] bit planes, regrouped into 16-bit words
+        bits = ((v[..., None] >> np.arange(w, dtype=np.uint32)) & 1)
+        bits = bits.reshape(sel.size, _DPACK_GPB, w, _DPACK_GROUP)
+        words = (bits.astype(np.uint32) * shift16).sum(-1).astype(np.uint16)
+        idx = (
+            word_off[sel][:, None]
+            + np.arange(_DPACK_GPB * w, dtype=np.int64)[None, :]
+        ).ravel()
+        payload[idx] = words.reshape(sel.size, -1).ravel()
+    return lens, widths, payload.view(np.int16), n
+
+
+def dpack_pack(
+    wavs: Sequence[np.ndarray], cap: int, scap: int,
+    batch: int | None = None,
+) -> np.ndarray:
+    """Pack with the dpack codec into a [cap] int16 buffer.
+
+    ``scap`` is the static sample capacity (multiple of 1024) the decoder
+    was compiled for; the widths region occupies scap/1024 words.
+    """
+    if scap % _DPACK_BLOCK:
+        raise ValueError(f"scap must be a multiple of {_DPACK_BLOCK}")
+    b = batch if batch is not None else len(wavs)
+    if len(wavs) > b:
+        raise ValueError(f"{len(wavs)} wavs > batch {b}")
+    lens, widths, payload, n = dpack_encode(wavs)
+    nbcap = scap // _DPACK_BLOCK
+    if widths.shape[0] > nbcap:
+        raise ValueError(
+            f"dpack overflow: {n} samples need {widths.shape[0]} blocks, "
+            f"scap {scap} holds {nbcap} (recompute dpack_measure)"
+        )
+    need = 2 * b + nbcap + payload.shape[0]
+    if need > cap:
+        raise ValueError(
+            f"wire overflow: need {need}, cap {cap} "
+            "(recompute dpack_measure for this batch)"
+        )
+    flat = np.zeros((cap,), np.int16)
+    for i, ln in enumerate(lens):
+        if ln >= 1 << 30:
+            raise ValueError(f"utterance {i} too long for wire: {ln}")
+        flat[2 * i] = ln & _LOW_MASK
+        flat[2 * i + 1] = ln >> _LOW_BITS
+    flat[2 * b: 2 * b + widths.shape[0]] = widths.astype(np.int16)
+    flat[2 * b + nbcap: need] = payload
+    return flat
+
+
+def dpack_measure(
+    groups: Sequence[Sequence[np.ndarray]], batch: int, align: int = 2048,
+) -> Tuple[int, int]:
+    """Shared (cap, scap) so ONE compiled program serves every group."""
+    scap = _DPACK_BLOCK
+    words = 2 * batch
+    for g in groups:
+        n = sum(int(np.asarray(w).shape[0]) for w in g)
+        scap = max(scap, -(-n // _DPACK_BLOCK) * _DPACK_BLOCK)
+        _, widths, payload, _ = dpack_encode(g)
+        words = max(words, 2 * batch + payload.shape[0])
+    cap = -(-(words + scap // _DPACK_BLOCK) // align) * align
+    return cap, scap
+
+
+def _dpack_unpack_block(w: int, words: jax.Array) -> jax.Array:
+    """One block's [1024] int32 words -> [1024] zigzag values, STATIC w."""
+    if w == 0:
+        return jnp.zeros((_DPACK_BLOCK,), jnp.int32)
+    grp = words[: _DPACK_GPB * w].reshape(_DPACK_GPB, w)
+    mask = (1 << w) - 1
+    cols = []
+    for r in range(_DPACK_GROUP):
+        k, s = (r * w) >> 4, (r * w) & 15
+        lo = grp[:, k] >> s
+        if s and k + 1 < w:
+            lo = lo | (grp[:, k + 1] << (16 - s))
+        cols.append(lo & mask)
+    return jnp.stack(cols, axis=1).reshape(_DPACK_BLOCK)
+
+
+def dpack_unpack(
+    flat: jax.Array, batch: int, n_pad: int, scap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """dpack wire -> (float32 [batch, n_pad] padded wavs, lengths).
+
+    Jittable; batch/n_pad/scap static.  Bit-identical to the pcm16 path.
+    """
+    if scap % _DPACK_BLOCK:
+        raise ValueError(f"scap must be a multiple of {_DPACK_BLOCK}")
+    nbcap = scap // _DPACK_BLOCK
+    hdr = 2 * batch
+    lo = flat[0:hdr:2].astype(jnp.int32)
+    hi = flat[1:hdr:2].astype(jnp.int32)
+    lengths = lo + (hi << _LOW_BITS)
+
+    widths = flat[hdr: hdr + nbcap].astype(jnp.int32)
+    csum = jnp.cumsum(widths)
+    word_off = hdr + nbcap + _DPACK_GPB * (csum - widths)
+    # a block reads at most 64*16 words; pad so the tail slice is in range
+    src = jnp.pad(flat, (0, _DPACK_GPB * 16)).astype(jnp.int32) & 0xFFFF
+    branches = [
+        lambda words, _w=w: _dpack_unpack_block(_w, words)
+        for w in range(17)
+    ]
+
+    def block(carry, w_off):
+        w, off = w_off
+        words = jax.lax.dynamic_slice_in_dim(src, off, _DPACK_GPB * 16)
+        return carry, jax.lax.switch(w, branches, words)
+
+    _, u = jax.lax.scan(block, 0, (widths, word_off))   # [nbcap, 1024]
+    u = u.reshape(scap)
+    d = (u >> 1) ^ -(u & 1)                             # un-zigzag
+    c = jnp.cumsum(d)            # int32 wraps; exact mod 2^16 (see above)
+    samples = ((c + 32768) & 0xFFFF) - 32768
+    samples = jnp.pad(samples, (0, n_pad))
+
+    offsets = (jnp.cumsum(lengths) - lengths).astype(jnp.int32)
+    t = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def row(carry, off_len):
+        off, ln = off_len
+        seg = jax.lax.dynamic_slice_in_dim(samples, off, n_pad)
+        wav = jnp.where(t < ln, seg.astype(jnp.float32) * (1.0 / 32768.0),
+                        0.0)
+        return carry, wav
+
+    _, wavs = jax.lax.scan(row, 0, (offsets, lengths))
+    return wavs, lengths

@@ -50,7 +50,7 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "asr_pack_batch_full") and _build():
+        if not hasattr(lib, "asr_dpack_encode") and _build():
             # stale library predating newer entry points: rebuilt — reload
             try:
                 lib = ctypes.CDLL(_LIB_PATH)
@@ -80,6 +80,13 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
+            ]
+        if hasattr(lib, "asr_dpack_encode"):
+            lib.asr_dpack_encode.restype = ctypes.c_long
+            lib.asr_dpack_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint16),
             ]
         lib.asr_levenshtein.restype = ctypes.c_long
         lib.asr_levenshtein.argtypes = [
@@ -165,6 +172,28 @@ def pack_batch_into(src: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return True
+
+
+def dpack_encode(samples: np.ndarray) -> Optional[tuple]:
+    """dpack-encode a concatenated int16 sample stream (data/wire.py's
+    per-1024-block delta + bit-packing).  Returns (widths uint8 [nb],
+    payload int16 [out_words]) or None if native unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asr_dpack_encode"):
+        return None
+    s = np.ascontiguousarray(samples, np.int16)
+    n = s.shape[0]
+    nb = -(-n // 1024)
+    widths = np.zeros((max(nb, 1),), np.uint8)
+    # a partial final block still emits 64*w (<= 1024) words, so the
+    # worst case is nb*1024 words, NOT n
+    payload = np.empty((max(nb * 1024, 1),), np.uint16)
+    out = lib.asr_dpack_encode(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    return widths[:nb], payload[:out].view(np.int16)
 
 
 def levenshtein(a, b) -> Optional[int]:

@@ -148,6 +148,56 @@ void asr_pack_batch_full(const float* src, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// dpack wire codec: lossless delta + per-block bit-packing (encode side)
+// ---------------------------------------------------------------------------
+
+// Encodes a concatenated int16 sample stream for the dpack wire codec
+// (data/wire.py): per 1024-sample block, int16-wraparound deltas are
+// zigzagged and stored as a flat little-endian bitstream of w-bit values,
+// w = the block max's bit-length.  `widths` receives ceil(n/1024) entries;
+// `payload` must hold at least n uint16 words (worst case w=16).  Returns
+// the payload word count.  Byte-identical to the NumPy reference encoder
+// (tests/test_wire.py).
+long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
+                      uint16_t* payload) {
+  const long kBlock = 1024;
+  long nb = (n + kBlock - 1) / kBlock;
+  long out = 0;
+  int16_t prev = 0;
+  for (long b = 0; b < nb; ++b) {
+    long lo = b * kBlock;
+    long hi = std::min(n, lo + kBlock);
+    uint32_t u[1024];
+    uint32_t mx = 0;
+    for (long i = lo; i < hi; ++i) {
+      int32_t d = (int16_t)(uint16_t)((uint16_t)s[i] - (uint16_t)prev);
+      prev = s[i];
+      uint32_t z = (uint32_t)((d << 1) ^ (d >> 31));
+      u[i - lo] = z;
+      mx |= z;  // same highest set bit as the max
+    }
+    for (long i = hi - lo; i < kBlock; ++i) u[i] = 0;
+    int w = 0;
+    while (mx >> w) ++w;
+    widths[b] = (uint8_t)w;
+    if (w == 0) continue;
+    uint64_t acc = 0;
+    int nbits = 0;
+    for (long i = 0; i < kBlock; ++i) {
+      acc |= (uint64_t)u[i] << nbits;
+      nbits += w;
+      while (nbits >= 16) {
+        payload[out++] = (uint16_t)acc;
+        acc >>= 16;
+        nbits -= 16;
+      }
+    }
+    // 1024*w is a multiple of 16, so each block ends word-aligned
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
 // Levenshtein distance (host WER/CER at corpus scale)
 // ---------------------------------------------------------------------------
 

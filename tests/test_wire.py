@@ -162,6 +162,101 @@ class TestMulawCodec:
         assert cap8 <= cap16 // 2 + 2 * len(wavs)
 
 
+class TestDpackCodec:
+    """Lossless delta + per-block bit-packing (the r3 wire codec): device
+    decode must be BIT-IDENTICAL to the pcm16 path on any input."""
+
+    def _roundtrip(self, wavs, batch=None, n_pad=10240):
+        b = batch if batch is not None else len(wavs)
+        cap, scap = wire.dpack_measure([wavs], b)
+        flat = wire.pack_audio(wavs, cap, batch=b, codec="dpack",
+                               scap=scap)
+        got, lens = jax.jit(
+            wire.unpack_audio, static_argnums=(1, 2, 3, 4)
+        )(flat, b, n_pad, "dpack", scap)
+        cap16 = wire.wire_cap(b, sum(len(np.asarray(w)) for w in wavs))
+        want, wlens = wire.unpack_audio(
+            wire.pack_audio(wavs, cap16, batch=b), b, n_pad
+        )
+        np.testing.assert_array_equal(np.asarray(lens), np.asarray(wlens))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        return flat, cap, cap16
+
+    def test_bit_exact_speechlike(self):
+        """Tonal+noise signals (the bench's shape) — and the packed wire
+        must actually be smaller than pcm16."""
+        rng = np.random.RandomState(0)
+        wavs = []
+        for _ in range(4):
+            n = rng.randint(8000, 30000)
+            t = np.arange(n) / 16000.0
+            f0 = rng.uniform(80, 250)
+            sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t) / (k + 1)
+                      for k in range(4)) + 0.1 * rng.randn(n)
+            wavs.append((sig / np.abs(sig).max() * 0.5).astype(np.float32))
+        _, cap, cap16 = self._roundtrip(wavs, n_pad=30720)
+        assert cap < 0.95 * cap16, (cap, cap16)
+
+    def test_bit_exact_adversarial(self):
+        """Worst cases: full-scale alternation (max wraparound deltas),
+        DC extremes, uniform full-range noise, odd lengths around the
+        1024-sample block boundary, empty and zero-length rows."""
+        rng = np.random.RandomState(1)
+        wavs = [
+            np.tile(np.array([32767, -32768], np.int16), 3000),
+            np.full(1023, 32767, np.int16),
+            np.full(1025, -32768, np.int16),
+            (rng.rand(5000).astype(np.float32) * 2 - 1),
+            np.zeros(0, np.float32),
+            np.zeros(1024, np.int16),
+            np.array([1.5, -1.5, 0.5], np.float32),   # saturation
+        ]
+        self._roundtrip(wavs)
+
+    def test_partial_batch_rows(self):
+        wavs = _wavs(n=3)
+        b, n_pad = 8, 10240
+        cap, scap = wire.dpack_measure([wavs], b)
+        flat = wire.pack_audio(wavs, cap, batch=b, codec="dpack",
+                               scap=scap)
+        got, lens = wire.unpack_audio(flat, b, n_pad, codec="dpack",
+                                      scap=scap)
+        assert list(np.asarray(lens)[3:]) == [0] * 5
+        assert np.all(np.asarray(got)[3:] == 0.0)
+
+    def test_native_encoder_matches_numpy(self):
+        """The C++ fast path must be BYTE-identical to the NumPy
+        reference (skips if the native lib can't build)."""
+        from asr_study_tpu.utils import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.RandomState(2)
+        wavs = [(rng.randn(rng.randint(500, 9000)) * 0.3
+                 ).astype(np.float32) for _ in range(5)]
+        wavs += [np.tile(np.array([32767, -32768], np.int16), 2000),
+                 np.zeros(0, np.float32), np.full(1025, -5, np.int16)]
+        a = wire.dpack_encode(wavs, use_native=False)
+        b = wire.dpack_encode(wavs, use_native=True)
+        assert a[0] == b[0] and a[3] == b[3]
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+
+    def test_guards(self):
+        wavs = _wavs(n=2)
+        with pytest.raises(ValueError, match="multiple"):
+            wire.dpack_pack(wavs, cap=1 << 16, scap=1000)
+        with pytest.raises(ValueError, match="needs scap"):
+            wire.pack_audio(wavs, cap=1 << 16, codec="dpack")
+        with pytest.raises(ValueError, match="needs scap"):
+            wire.unpack_audio(np.zeros(64, np.int16), 2, 64, codec="dpack")
+        with pytest.raises(ValueError, match="overflow"):
+            wire.dpack_pack(wavs, cap=1 << 16, scap=1024)   # blocks > cap
+        with pytest.raises(ValueError, match="overflow"):
+            cap, scap = wire.dpack_measure([wavs], 2)
+            wire.dpack_pack(wavs, cap=64, scap=scap)
+
+
 def test_pcm16_saturates_not_wraps():
     """Float samples beyond +-1 must clip to full scale, not wrap around
     (int16 cast overflow)."""
