@@ -24,7 +24,7 @@ Three codecs (static; both ends must agree):
   bandwidth-bound serving links; decode happens on device.
 - ``dpack``: LOSSLESS delta + per-block bit-packing (FLAC-style fixed
   prediction, TPU-decodable): the batch's samples ride as one delta
-  stream split into 1024-sample blocks, each packed at its own bit
+  stream split into 4096-sample blocks, each packed at its own bit
   width.  Decoded samples are bit-identical to pcm16 at ~12-14 bits per
   sample on speech-shaped signals.  Needs a static sample capacity
   (``scap``) shared by both ends — see ``dpack_*`` below.
@@ -243,7 +243,7 @@ def pack_batches(
 # (a) maps to TPU directly; (b)'s variable-length codes do not — bit
 # positions become data-dependent per SAMPLE, which forces gathers (~8x
 # slower than slices on v5e, BENCHMARKS.md).  dpack keeps (a) and replaces
-# (b) with per-BLOCK fixed-width packing: within a 1024-sample block every
+# (b) with per-BLOCK fixed-width packing: within a 4096-sample block every
 # zigzagged delta is stored at the block's max bit-length, so inside a
 # block the layout is STATIC — 16 samples occupy exactly w words — and the
 # decoder is slices + shifts under a 17-way lax.switch.  Cost vs Rice:
@@ -251,11 +251,11 @@ def pack_batches(
 # codes); gain: the decode is one scan over blocks, no per-sample control
 # flow.
 #
-# Wire layout (int16 words), with B = batch, NBCAP = scap // 1024:
+# Wire layout (int16 words), with B = batch, NBCAP = scap // 4096:
 #   [0, 2B)            sample-length header (15-bit split, as pcm16)
 #   [2B, 2B + NBCAP)   per-block bit widths w_j in 0..16, one per word
 #   [2B + NBCAP, ...)  block payloads back to back; block j occupies
-#                      64 * w_j words (1024 samples * w_j bits / 16)
+#                      256 * w_j words (4096 samples * w_j bits / 16)
 #
 # The delta stream runs over the CONCATENATED batch samples (utterance
 # boundaries ignored; d[0] = s[0]) and is zero-padded to a block multiple.
@@ -264,11 +264,11 @@ def pack_batches(
 # exact mod 2^16 regardless of int32 overflow), then the same per-row
 # dynamic-slice extraction as pcm16.
 #
-# ``scap`` (static sample capacity, a multiple of 1024) is the decode-side
+# ``scap`` (static sample capacity, a multiple of 4096) is the decode-side
 # analog of ``cap``: both ends must agree so one compiled program serves
 # every batch.
 
-_DPACK_BLOCK = 1024
+_DPACK_BLOCK = 4096
 _DPACK_GROUP = 16                       # samples per word-aligned group
 _DPACK_GPB = _DPACK_BLOCK // _DPACK_GROUP   # 64 groups per block
 
@@ -347,8 +347,8 @@ def dpack_pack(
 ) -> np.ndarray:
     """Pack with the dpack codec into a [cap] int16 buffer.
 
-    ``scap`` is the static sample capacity (multiple of 1024) the decoder
-    was compiled for; the widths region occupies scap/1024 words.
+    ``scap`` is the static sample capacity (a block multiple) the decoder
+    was compiled for; the widths region occupies scap/4096 words.
     """
     if scap % _DPACK_BLOCK:
         raise ValueError(f"scap must be a multiple of {_DPACK_BLOCK}")
@@ -395,7 +395,7 @@ def dpack_measure(
 
 
 def _dpack_unpack_block(w: int, words: jax.Array) -> jax.Array:
-    """One block's [1024] int32 words -> [1024] zigzag values, STATIC w."""
+    """One block's words -> [4096] zigzag values, STATIC w."""
     if w == 0:
         return jnp.zeros((_DPACK_BLOCK,), jnp.int32)
     grp = words[: _DPACK_GPB * w].reshape(_DPACK_GPB, w)
@@ -440,7 +440,7 @@ def dpack_unpack(
         words = jax.lax.dynamic_slice_in_dim(src, off, _DPACK_GPB * 16)
         return carry, jax.lax.switch(w, branches, words)
 
-    _, u = jax.lax.scan(block, 0, (widths, word_off))   # [nbcap, 1024]
+    _, u = jax.lax.scan(block, 0, (widths, word_off))   # [nbcap, 4096]
     u = u.reshape(scap)
     d = (u >> 1) ^ -(u & 1)                             # un-zigzag
     c = jnp.cumsum(d)            # int32 wraps; exact mod 2^16 (see above)

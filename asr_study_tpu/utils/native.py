@@ -176,18 +176,18 @@ def pack_batch_into(src: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
 
 def dpack_encode(samples: np.ndarray) -> Optional[tuple]:
     """dpack-encode a concatenated int16 sample stream (data/wire.py's
-    per-1024-block delta + bit-packing).  Returns (widths uint8 [nb],
+    per-4096-block delta + bit-packing).  Returns (widths uint8 [nb],
     payload int16 [out_words]) or None if native unavailable."""
     lib = load()
     if lib is None or not hasattr(lib, "asr_dpack_encode"):
         return None
     s = np.ascontiguousarray(samples, np.int16)
     n = s.shape[0]
-    nb = -(-n // 1024)
+    nb = -(-n // 4096)
     widths = np.zeros((max(nb, 1),), np.uint8)
-    # a partial final block still emits 64*w (<= 1024) words, so the
-    # worst case is nb*1024 words, NOT n
-    payload = np.empty((max(nb * 1024, 1),), np.uint16)
+    # a partial final block still emits 256*w (<= 4096) words, so the
+    # worst case is nb*4096 words, NOT n
+    payload = np.empty((max(nb * 4096, 1),), np.uint16)
     out = lib.asr_dpack_encode(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
         widths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

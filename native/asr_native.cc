@@ -152,22 +152,23 @@ void asr_pack_batch_full(const float* src, const int64_t* offsets,
 // ---------------------------------------------------------------------------
 
 // Encodes a concatenated int16 sample stream for the dpack wire codec
-// (data/wire.py): per 1024-sample block, int16-wraparound deltas are
+// (data/wire.py): per 4096-sample block, int16-wraparound deltas are
 // zigzagged and stored as a flat little-endian bitstream of w-bit values,
-// w = the block max's bit-length.  `widths` receives ceil(n/1024) entries;
-// `payload` must hold at least n uint16 words (worst case w=16).  Returns
+// w = the block max's bit-length.  `widths` receives ceil(n/4096) entries;
+// `payload` must hold ceil(n/4096)*4096 uint16 words (worst case w=16,
+// partial final block included).  Returns
 // the payload word count.  Byte-identical to the NumPy reference encoder
 // (tests/test_wire.py).
 long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
                       uint16_t* payload) {
-  const long kBlock = 1024;
+  const long kBlock = 4096;
   long nb = (n + kBlock - 1) / kBlock;
   long out = 0;
   int16_t prev = 0;
   for (long b = 0; b < nb; ++b) {
     long lo = b * kBlock;
     long hi = std::min(n, lo + kBlock);
-    uint32_t u[1024];
+    uint32_t u[4096];
     uint32_t mx = 0;
     for (long i = lo; i < hi; ++i) {
       int32_t d = (int16_t)(uint16_t)((uint16_t)s[i] - (uint16_t)prev);
@@ -192,7 +193,7 @@ long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
         nbits -= 16;
       }
     }
-    // 1024*w is a multiple of 16, so each block ends word-aligned
+    // 4096*w is a multiple of 16, so each block ends word-aligned
   }
   return out;
 }

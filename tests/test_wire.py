@@ -200,15 +200,15 @@ class TestDpackCodec:
     def test_bit_exact_adversarial(self):
         """Worst cases: full-scale alternation (max wraparound deltas),
         DC extremes, uniform full-range noise, odd lengths around the
-        1024-sample block boundary, empty and zero-length rows."""
+        4096-sample block boundary, empty and zero-length rows."""
         rng = np.random.RandomState(1)
         wavs = [
             np.tile(np.array([32767, -32768], np.int16), 3000),
-            np.full(1023, 32767, np.int16),
-            np.full(1025, -32768, np.int16),
+            np.full(4095, 32767, np.int16),
+            np.full(4097, -32768, np.int16),
             (rng.rand(5000).astype(np.float32) * 2 - 1),
             np.zeros(0, np.float32),
-            np.zeros(1024, np.int16),
+            np.zeros(4096, np.int16),
             np.array([1.5, -1.5, 0.5], np.float32),   # saturation
         ]
         self._roundtrip(wavs)
@@ -235,7 +235,7 @@ class TestDpackCodec:
         wavs = [(rng.randn(rng.randint(500, 9000)) * 0.3
                  ).astype(np.float32) for _ in range(5)]
         wavs += [np.tile(np.array([32767, -32768], np.int16), 2000),
-                 np.zeros(0, np.float32), np.full(1025, -5, np.int16)]
+                 np.zeros(0, np.float32), np.full(4097, -5, np.int16)]
         a = wire.dpack_encode(wavs, use_native=False)
         b = wire.dpack_encode(wavs, use_native=True)
         assert a[0] == b[0] and a[3] == b[3]
@@ -251,7 +251,7 @@ class TestDpackCodec:
         with pytest.raises(ValueError, match="needs scap"):
             wire.unpack_audio(np.zeros(64, np.int16), 2, 64, codec="dpack")
         with pytest.raises(ValueError, match="overflow"):
-            wire.dpack_pack(wavs, cap=1 << 16, scap=1024)   # blocks > cap
+            wire.dpack_pack(wavs, cap=1 << 16, scap=4096)   # blocks > scap
         with pytest.raises(ValueError, match="overflow"):
             cap, scap = wire.dpack_measure([wavs], 2)
             wire.dpack_pack(wavs, cap=64, scap=scap)
