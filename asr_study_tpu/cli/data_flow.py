@@ -1,4 +1,5 @@
-"""Shared CLI helper: resolve --dataset into a DatasetIterator.
+"""Shared CLI helpers: resolve --dataset into a DatasetIterator, and
+reconstruct the exact training vocabulary for a dataset/run.
 
 Supports both on-disk formats of the data layer: prebuilt HDF5 (fast path,
 the make_dataset output) and JSON-lines manifests (DatasetParser.to_json)
@@ -8,10 +9,68 @@ with on-the-fly feature extraction.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 from asr_study_tpu.data.generator import DatasetGenerator, DatasetIterator
+from asr_study_tpu.text.parser import CharParser
 from asr_study_tpu.utils.registry import get_from_module
+
+
+def dataset_vocab(dataset: str) -> Optional[str]:
+    """The vocabulary an HDF5 dataset was built with (its split groups'
+    ``vocab`` attr [ref: preprocessing/text.py — the reference hardcodes
+    one alphabet; here the dataset is self-describing]).  None for JSON
+    manifests (features and labels are parsed on the fly) or datasets
+    predating the attr."""
+    if dataset.endswith(".json") or dataset.endswith(".jsonl"):
+        return None
+    import h5py
+
+    with h5py.File(dataset, "r") as f:
+        for split in f:
+            v = f[split].attrs.get("vocab")
+            if v is not None:
+                return v if isinstance(v, str) else v.decode()
+    return None
+
+
+def parser_for_training(dataset: str, vocab_arg: Optional[str] = None
+                        ) -> CharParser:
+    """Label parser for a training run: the dataset's stored vocabulary
+    is authoritative (its label ids were minted with it); an explicit
+    --vocab must MATCH it — a mismatch would silently train against the
+    wrong alphabet, which is exactly the bug this guards against."""
+    from asr_study_tpu.text.parser import resolve_vocab
+
+    stored = dataset_vocab(dataset)
+    if vocab_arg:
+        requested = resolve_vocab(vocab_arg)
+        if stored is not None and requested != stored:
+            raise SystemExit(
+                f"--vocab {vocab_arg!r} resolves to {requested!r} but the "
+                f"dataset was built with {stored!r}; rebuild the dataset "
+                "or drop --vocab (the stored vocabulary is used "
+                "automatically)"
+            )
+        return CharParser(requested)
+    return CharParser(stored) if stored is not None else CharParser()
+
+
+def parser_from_run(save_dir: str, dataset: Optional[str] = None
+                    ) -> CharParser:
+    """Label parser for eval/predict/export: the RUN's recorded vocabulary
+    (meta.json hparams) is authoritative — it is the alphabet the model's
+    classifier was trained over; falls back to the dataset's stored vocab,
+    then the default."""
+    meta_path = os.path.join(save_dir, "meta.json")
+    vocab = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            vocab = json.load(f).get("hparams", {}).get("vocab")
+    if vocab is None and dataset:
+        vocab = dataset_vocab(dataset)
+    return CharParser(vocab) if vocab else CharParser()
 
 
 def flow_from_arg(

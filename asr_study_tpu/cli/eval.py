@@ -103,10 +103,10 @@ def main(argv=None) -> int:
 
     select_platform(args.platform)
     setup_compilation_cache()
-    label_parser = CharParser()
-    model, state, _ = load_run(args.save, label_parser, best=args.best)
+    from asr_study_tpu.cli.data_flow import flow_from_arg, parser_from_run
 
-    from asr_study_tpu.cli.data_flow import flow_from_arg
+    label_parser = parser_from_run(args.save, args.dataset)
+    model, state, _ = load_run(args.save, label_parser, best=args.best)
 
     gen = DatasetGenerator(batch_size=args.batch_size, shuffle=False)
     it = flow_from_arg(

@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="utterances per device batch with --device")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
+    p.add_argument("--vocab", default=None,
+                   help="label vocabulary: preset name (pt_br, "
+                        "pt_br_apostrophe) or literal characters "
+                        "(default pt_br: a-z + space). Stored in the "
+                        "dataset; train/eval/predict reconstruct it "
+                        "automatically")
     p.add_argument("--layout", default="vlen", choices=("vlen", "packed"),
                    help="HDF5 feature layout: 'vlen' (reference-compatible, "
                         "one vlen row per utterance) or 'packed' (one "
@@ -64,7 +70,9 @@ def main(argv=None) -> int:
         input_parser = get_from_module(
             "feature", args.input_parser
         )(**feat_kw)
-    label_parser = CharParser()
+    from asr_study_tpu.text.parser import resolve_vocab
+
+    label_parser = CharParser(resolve_vocab(args.vocab))
     if args.to_json:
         n = corpus.to_json(args.to_json)
         print(f"wrote {n} utterances to {args.to_json}")

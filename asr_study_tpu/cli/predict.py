@@ -22,7 +22,6 @@ import jax
 import numpy as np
 
 from asr_study_tpu.ops import beam_search_decode, greedy_decode
-from asr_study_tpu.text.parser import CharParser
 from asr_study_tpu.utils.registry import get_from_module
 
 
@@ -47,9 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8,
                    help="utterances per device batch with --on_device")
     p.add_argument("--wire_codec", default="pcm16",
-                   choices=("pcm16", "mulaw"),
-                   help="--on_device wire encoding: pcm16 (lossless) or "
-                        "mulaw (8-bit companded, half the wire bytes)")
+                   choices=("pcm16", "dpack", "mulaw"),
+                   help="--on_device wire encoding: pcm16 (raw), dpack "
+                        "(LOSSLESS delta+bit-packing, ~25% fewer bytes "
+                        "on speech, bit-identical to pcm16) or mulaw "
+                        "(8-bit companded, lossy, half the bytes)")
     p.add_argument("--stream", action="store_true",
                    help="chunked streaming decode with carried recurrent "
                         "state — unbounded-length audio at bounded memory "
@@ -127,13 +128,22 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
     wavs = [read_wav(p)[0] for p in args.wavs]
     batch = max(1, min(args.batch_size, len(wavs)))
     n_pad = -(-max(len(w) for w in wavs) // 2048) * 2048
-    bufs, _cap = wire.pack_batches(wavs, batch, codec=args.wire_codec)
+    if args.wire_codec == "dpack":
+        groups = [wavs[i: i + batch] for i in range(0, len(wavs), batch)]
+        cap, scap = wire.dpack_measure(groups, batch)
+        bufs = [
+            wire.pack_audio(g, cap, batch=batch, codec="dpack", scap=scap)
+            for g in groups
+        ]
+    else:
+        bufs, _cap = wire.pack_batches(wavs, batch, codec=args.wire_codec)
+        scap = None
 
     def make_serve(featurizer):
         @jax.jit
         def serve(params, flat):
             w, lens = wire.unpack_audio(
-                flat, batch, n_pad, codec=args.wire_codec
+                flat, batch, n_pad, codec=args.wire_codec, scap=scap
             )
             feats, feat_lengths = featurizer._transform(w, lens)
             logits = model.apply(params, feats, feat_lengths, train=False)
@@ -182,7 +192,9 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     select_platform(args.platform)
     setup_compilation_cache()
-    label_parser = CharParser()
+    from asr_study_tpu.cli.data_flow import parser_from_run
+
+    label_parser = parser_from_run(args.save)
     model, state, _ = load_run(args.save, label_parser, best=args.best)
 
     feat_kw = json.loads(args.input_params) if args.input_params else {}

@@ -16,7 +16,6 @@ import jax
 
 from asr_study_tpu.data.generator import DatasetGenerator
 from asr_study_tpu.models.zoo import build_model
-from asr_study_tpu.text.parser import CharParser
 from asr_study_tpu.train.checkpoint import CheckpointManager
 from asr_study_tpu.train.loop import fit
 from asr_study_tpu.train.trainer import Trainer, make_mesh, make_optimizer
@@ -89,6 +88,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans (fail fast on NaN, slower)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 master weights + loss)")
+    p.add_argument("--vocab", default=None,
+                   help="label vocabulary: preset name (pt_br, "
+                        "pt_br_apostrophe) or literal characters; default "
+                        "= the dataset's stored vocabulary (HDF5) or the "
+                        "pt_br preset. Must match an HDF5 dataset's "
+                        "stored vocabulary")
     p.add_argument("--spec_augment", nargs="?", const="", default=None,
                    help="SpecAugment feature masking during training; "
                         "optionally 'freq_masks=2,freq_width=8,"
@@ -123,7 +128,9 @@ def main(argv=None) -> int:
         )
         args.save = os.path.join("runs", safe)
         print(f"run dir: {args.save}", file=sys.stderr)
-    label_parser = CharParser()
+    from asr_study_tpu.cli.data_flow import parser_for_training
+
+    label_parser = parser_for_training(args.dataset, args.vocab)
     model = build_model(
         args.model, args.params, num_classes=label_parser.num_classes
     )
@@ -230,6 +237,7 @@ def main(argv=None) -> int:
         "spec_augment": args.spec_augment,
         "num_feats": train_it.num_feats,
         "num_classes": label_parser.num_classes,
+        "vocab": label_parser.vocab,
     }
     fit(
         trainer, state, train_it, valid_it,

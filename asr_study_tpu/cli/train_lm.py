@@ -80,7 +80,15 @@ def _text_file_ids(path: str, parser: CharParser):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    parser = CharParser()
+    if args.dataset:
+        # the dataset's stored vocabulary (its label ids were minted with
+        # it); an LM over a different alphabet would mis-score every beam
+        from asr_study_tpu.cli.data_flow import dataset_vocab
+
+        stored = dataset_vocab(args.dataset)
+        parser = CharParser(stored) if stored is not None else CharParser()
+    else:
+        parser = CharParser()
     if args.dataset:
         seqs = list(_dataset_texts(args.dataset, args.splits, parser))
     else:

@@ -15,6 +15,30 @@ import unicodedata
 from typing import List
 
 PT_BR_VOCAB = string.ascii_lowercase + " "
+# SURVEY.md §2.1 tags the reference's vocabulary as "a-z + space
+# (+ apostrophe)" with MED confidence on the apostrophe; both variants are
+# first-class so parity is a flag flip at dataset build, not a rebuild.
+PT_BR_APOSTROPHE_VOCAB = PT_BR_VOCAB + "'"
+
+VOCAB_PRESETS = {
+    "pt_br": PT_BR_VOCAB,
+    "pt_br_apostrophe": PT_BR_APOSTROPHE_VOCAB,
+}
+
+
+def resolve_vocab(spec: str | None) -> str:
+    """CLI ``--vocab`` value -> vocabulary string.
+
+    Accepts a preset name (``pt_br``, ``pt_br_apostrophe``) or a literal
+    character string (must contain no duplicates).  None -> the default.
+    """
+    if spec is None or spec == "":
+        return PT_BR_VOCAB
+    if spec in VOCAB_PRESETS:
+        return VOCAB_PRESETS[spec]
+    if len(set(spec)) != len(spec):
+        raise ValueError(f"--vocab has duplicate characters: {spec!r}")
+    return spec
 
 
 def normalize_text(sentence: str) -> str:
@@ -35,6 +59,8 @@ class CharParser:
     """
 
     def __init__(self, vocab: str = PT_BR_VOCAB, normalize: bool = True):
+        if len(set(vocab)) != len(vocab):
+            raise ValueError(f"vocab has duplicate characters: {vocab!r}")
         self.vocab = vocab
         self.normalize = normalize
         self.char_to_id = {c: i for i, c in enumerate(vocab)}

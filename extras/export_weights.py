@@ -68,10 +68,10 @@ def main(argv=None) -> int:
     from asr_study_tpu.utils.platform import select_platform
 
     select_platform(args.platform)
+    from asr_study_tpu.cli.data_flow import parser_from_run
     from asr_study_tpu.cli.eval import load_run
-    from asr_study_tpu.text.parser import CharParser
 
-    label_parser = CharParser()
+    label_parser = parser_from_run(args.save)
     model, state, hp = load_run(
         args.save, label_parser, best=not args.latest
     )
