@@ -29,12 +29,48 @@ EPS = 1e-10
 # framing / spectra
 # ---------------------------------------------------------------------------
 
-def num_frames(signal_len: int, frame_len: int, frame_step: int) -> int:
-    """Frame count with tail zero-padding: 1 frame if the signal is shorter
-    than a window, else one per hop with a final padded frame."""
+def num_frames(signal_len: int, frame_len: int, frame_step: int,
+               center: bool = False) -> int:
+    """Frame count: tail zero-padded framing (1 frame if the signal is
+    shorter than a window, else one per hop with a final padded frame), or
+    librosa's ``center=True`` convention (frame t centered on t*hop:
+    1 + floor(len/hop) frames)."""
+    if center:
+        return 1 + signal_len // frame_step
     if signal_len <= frame_len:
         return 1
     return 1 + int(math.ceil((signal_len - frame_len) / float(frame_step)))
+
+
+def center_pad(signal: np.ndarray, pad: int,
+               pad_mode: str = "reflect") -> np.ndarray:
+    """librosa-style centering pad: ``pad`` samples on each side."""
+    if pad_mode not in ("reflect", "constant"):
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
+    if len(signal) < 2 or pad_mode == "constant":
+        return np.pad(signal, pad, mode="constant")
+    return np.pad(signal, pad, mode="reflect")
+
+
+def periodic_hann(n: int) -> np.ndarray:
+    """Periodic (DFT-even) Hann window — librosa/scipy ``fftbins=True``
+    convention, NOT numpy's symmetric ``np.hanning``."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+_WINDOWS = {"hamming": np.hamming, "hann": periodic_hann}
+
+
+def get_window(name) -> Callable[[int], np.ndarray]:
+    """Window table lookup ('hamming' | 'hann'); callables pass through."""
+    if callable(name):
+        return name
+    try:
+        return _WINDOWS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown window {name!r}; have {sorted(_WINDOWS)}"
+        ) from None
 
 
 def preemphasis(signal: np.ndarray, coeff: float = 0.97) -> np.ndarray:
@@ -48,13 +84,16 @@ def frame_signal(
     frame_len: int,
     frame_step: int,
     window: Optional[np.ndarray] = None,
+    n_frames: Optional[int] = None,
 ) -> np.ndarray:
     """Slice a 1-D signal into overlapping (zero-padded) frames [T, frame_len]."""
     signal = np.asarray(signal)
-    nf = num_frames(len(signal), frame_len, frame_step)
+    nf = (n_frames if n_frames is not None
+          else num_frames(len(signal), frame_len, frame_step))
     pad_len = (nf - 1) * frame_step + frame_len
     padded = np.concatenate(
-        [signal, np.zeros(pad_len - len(signal), dtype=signal.dtype)]
+        [signal,
+         np.zeros(max(0, pad_len - len(signal)), dtype=signal.dtype)]
     )
     idx = np.arange(frame_len)[None, :] + frame_step * np.arange(nf)[:, None]
     frames = padded[idx]
@@ -113,24 +152,59 @@ def mel_filterbank(
     low_freq: float = 0.0,
     high_freq: Optional[float] = None,
     htk: bool = True,
+    construction: str = "quantized",
+    norm: Optional[str] = None,
 ) -> np.ndarray:
-    """Triangular mel filterbank on FFT-bin centres -> [nfilt, nfft//2 + 1].
+    """Triangular mel filterbank -> [nfilt, nfft//2 + 1].
 
-    Uses the bin-quantized construction (``floor((nfft+1) * hz / sr)``) the
-    reference's chain uses, so filter shapes match it exactly.
+    Two constructions (SURVEY.md tagged the reference's as MED-confidence,
+    so both are first-class — parity with whichever the real reference
+    used is a flag flip):
+
+    - ``quantized``: breakpoints snapped to FFT bins via
+      ``floor((nfft+1) * hz / sr)`` — the python_speech_features-style
+      shape.
+    - ``librosa``: triangles in continuous frequency space evaluated at
+      the FFT bin frequencies ``k * sr / nfft`` (librosa.filters.mel).
+
+    ``norm='slaney'`` applies librosa's area normalization (each triangle
+    scaled by 2 / bandwidth); the mel SCALE itself (HTK vs Slaney) stays
+    the independent ``htk`` flag.
     """
     high_freq = high_freq or sr / 2.0
     mel_pts = np.linspace(
         hz_to_mel(low_freq, htk), hz_to_mel(high_freq, htk), nfilt + 2
     )
-    bins = np.floor((nfft + 1) * mel_to_hz(mel_pts, htk) / sr).astype(int)
-    fbank = np.zeros((nfilt, nfft // 2 + 1))
-    for j in range(nfilt):
-        lo, mid, hi = bins[j], bins[j + 1], bins[j + 2]
-        for i in range(lo, mid):
-            fbank[j, i] = (i - lo) / max(mid - lo, 1)
-        for i in range(mid, hi):
-            fbank[j, i] = (hi - i) / max(hi - mid, 1)
+    hz_pts = mel_to_hz(mel_pts, htk)
+    if construction == "quantized":
+        bins = np.floor((nfft + 1) * hz_pts / sr).astype(int)
+        fbank = np.zeros((nfilt, nfft // 2 + 1))
+        for j in range(nfilt):
+            lo, mid, hi = bins[j], bins[j + 1], bins[j + 2]
+            for i in range(lo, mid):
+                fbank[j, i] = (i - lo) / max(mid - lo, 1)
+            for i in range(mid, hi):
+                fbank[j, i] = (hi - i) / max(hi - mid, 1)
+    elif construction == "librosa":
+        fft_freqs = np.arange(nfft // 2 + 1) * (sr / float(nfft))
+        fdiff = np.diff(hz_pts)
+        lower = (fft_freqs[None, :] - hz_pts[:-2, None]) / np.maximum(
+            fdiff[:-1, None], np.finfo(np.float64).tiny
+        )
+        upper = (hz_pts[2:, None] - fft_freqs[None, :]) / np.maximum(
+            fdiff[1:, None], np.finfo(np.float64).tiny
+        )
+        fbank = np.maximum(0.0, np.minimum(lower, upper))
+    else:
+        raise ValueError(
+            f"unknown filterbank construction {construction!r} "
+            "(have: quantized, librosa)"
+        )
+    if norm == "slaney":
+        enorm = 2.0 / (hz_pts[2: nfilt + 2] - hz_pts[:nfilt])
+        fbank = fbank * enorm[:, None]
+    elif norm is not None:
+        raise ValueError(f"unknown filterbank norm {norm!r}")
     return fbank
 
 
@@ -185,16 +259,37 @@ def fbank_features(
     preemph: float = 0.97,
     win_fun: Callable[[int], np.ndarray] = np.hamming,
     htk: bool = True,
+    center: bool = False,
+    pad_mode: str = "reflect",
+    filterbank: str = "quantized",
+    fb_norm: Optional[str] = None,
 ):
-    """-> (mel-filterbank energies [T, nfilt], total frame energy [T])."""
+    """-> (mel-filterbank energies [T, nfilt], total frame energy [T]).
+
+    ``center=True`` uses librosa's framing (frame t centered on t*hop,
+    signal padded frame_len//2 per side with ``pad_mode``); matches
+    librosa's effective sample coverage exactly for even frame_len (the
+    real configs; odd frame_len diverges by one tail sample).  Note the
+    affine conventions stay python_speech_features-style in BOTH modes:
+    power spectra carry 1/NFFT and logs are natural — per-channel affine
+    offsets in log domain, which CMVN (and any trained network) absorbs.
+    """
     frame_len = int(round(win_len * sr))
     frame_step = int(round(win_step * sr))
     sig = preemphasis(signal, preemph)
-    frames = frame_signal(sig, frame_len, frame_step, win_fun(frame_len))
+    if center:
+        nf = num_frames(len(signal), frame_len, frame_step, center=True)
+        sig = center_pad(sig, frame_len // 2, pad_mode)
+        frames = frame_signal(
+            sig, frame_len, frame_step, win_fun(frame_len), n_frames=nf
+        )
+    else:
+        frames = frame_signal(sig, frame_len, frame_step, win_fun(frame_len))
     pspec = power_spectrum(frames, nfft)
     energy = np.sum(pspec, axis=1)
     energy = np.where(energy == 0, np.finfo(np.float64).eps, energy)
-    fb = mel_filterbank(nfilt, nfft, sr, low_freq, high_freq, htk)
+    fb = mel_filterbank(nfilt, nfft, sr, low_freq, high_freq, htk,
+                        construction=filterbank, norm=fb_norm)
     feat = pspec @ fb.T
     feat = np.where(feat == 0, np.finfo(np.float64).eps, feat)
     return feat, energy
@@ -261,6 +356,38 @@ class Raw(Feature):
         return signal.reshape(-1, 1)
 
 
+_UNSET = object()
+
+# Per-convention defaults for the five convention-shaped knobs.  The
+# reference's exact chain is MED-confidence recall (SURVEY.md §0), so both
+# conventions are first-class: ``convention="librosa"`` flips every
+# shape-changing default to librosa's (center framing + reflect pad,
+# periodic-Hann window, Slaney mel scale, continuous-triangle filterbank
+# with Slaney area norm); any knob passed explicitly still wins.
+_CONVENTIONS = {
+    "reference": dict(htk=True, window="hamming", center=False,
+                      filterbank="quantized", fb_norm=None),
+    "librosa": dict(htk=False, window="hann", center=True,
+                    filterbank="librosa", fb_norm="slaney"),
+}
+
+
+def resolve_convention(convention: str, htk=_UNSET, window=_UNSET,
+                       center=_UNSET, filterbank=_UNSET, fb_norm=_UNSET):
+    """-> (htk, window, center, filterbank, fb_norm) with convention
+    defaults filled in for any knob left unset."""
+    try:
+        d = _CONVENTIONS[convention]
+    except KeyError:
+        raise ValueError(
+            f"unknown feature convention {convention!r}; "
+            f"have {sorted(_CONVENTIONS)}"
+        ) from None
+    pick = lambda v, k: d[k] if v is _UNSET else v  # noqa: E731
+    return (pick(htk, "htk"), pick(window, "window"), pick(center, "center"),
+            pick(filterbank, "filterbank"), pick(fb_norm, "fb_norm"))
+
+
 class _SpectralFeature(Feature):
     def __init__(
         self,
@@ -272,7 +399,13 @@ class _SpectralFeature(Feature):
         low_freq: float = 0.0,
         high_freq: Optional[float] = None,
         preemph: float = 0.97,
-        htk: bool = True,
+        htk=_UNSET,
+        window=_UNSET,
+        center=_UNSET,
+        pad_mode: str = "reflect",
+        filterbank=_UNSET,
+        fb_norm=_UNSET,
+        convention: str = "reference",
         log_floor: float = 0.0,
         **kw,
     ):
@@ -284,7 +417,13 @@ class _SpectralFeature(Feature):
         self.low_freq = low_freq
         self.high_freq = high_freq
         self.preemph = preemph
-        self.htk = htk
+        self.convention = convention
+        (self.htk, self.window, self.center, self.filterbank,
+         self.fb_norm) = resolve_convention(
+            convention, htk, window, center, filterbank, fb_norm
+        )
+        self.pad_mode = pad_mode
+        get_window(self.window)   # validate early
         # Optional ABSOLUTE power-domain floor applied to mel energies and
         # total frame energy before any log.  0.0 = reference behavior
         # (only exact zeros floored at eps).  A floor ~60-80 dB below
@@ -309,7 +448,12 @@ class _SpectralFeature(Feature):
             low_freq=self.low_freq,
             high_freq=self.high_freq,
             preemph=self.preemph,
+            win_fun=get_window(self.window),
             htk=self.htk,
+            center=self.center,
+            pad_mode=self.pad_mode,
+            filterbank=self.filterbank,
+            fb_norm=self.fb_norm,
         )
 
 

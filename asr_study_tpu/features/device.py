@@ -47,12 +47,45 @@ _DFT_PREC = {
 
 
 def device_num_frames(wav_lengths: jax.Array, frame_len: int,
-                      frame_step: int) -> jax.Array:
-    """Vector version of audio.num_frames (tail-padded framing)."""
+                      frame_step: int, center: bool = False) -> jax.Array:
+    """Vector version of audio.num_frames (both framing conventions)."""
+    if center:
+        return 1 + wav_lengths // frame_step
     extra = jnp.ceil(
         (wav_lengths - frame_len).astype(jnp.float32) / frame_step
     ).astype(jnp.int32)
     return jnp.where(wav_lengths <= frame_len, 1, 1 + extra)
+
+
+def _center_pad_batch(pre: jax.Array, wav_lengths: jax.Array, pad: int,
+                      pad_mode: str) -> jax.Array:
+    """librosa centering for a padded batch [B, N] -> [B, N + 2*pad].
+
+    The left pad is row-independent (every row starts at sample 0); the
+    RIGHT reflection pivots on each row's own length, so it is written by
+    a per-row dynamic_update_slice (scan — same DMA-friendly idiom as the
+    wire unpack).  Matches audio.center_pad exactly for rows longer than
+    ``pad`` samples (shorter rows would need numpy's bounce-back
+    multi-reflection; real utterances are never < frame_len//2)."""
+    b, n = pre.shape
+    if pad_mode == "constant":
+        return jnp.pad(pre, ((0, 0), (pad, pad)))
+    if pad_mode != "reflect":
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
+    left = pre[:, 1: pad + 1][:, ::-1]
+    body = jnp.pad(pre, ((0, 0), (0, pad)))
+
+    def row(carry, sig_len):
+        sig, ln = sig_len
+        start = jnp.maximum(ln - 1 - pad, 0)
+        tail = jax.lax.dynamic_slice_in_dim(sig, start, pad)[::-1]
+        # rows shorter than the window keep zeros instead of reflections
+        tail = jnp.where(ln > pad, tail, jnp.zeros_like(tail))
+        sig = jax.lax.dynamic_update_slice_in_dim(sig, tail, ln, 0)
+        return carry, sig
+
+    _, body = jax.lax.scan(row, 0, (body, wav_lengths))
+    return jnp.concatenate([left, body], axis=1)
 
 
 def _dft_matrices(frame_len: int, nfft: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -131,7 +164,13 @@ class DeviceFeaturizer:
         low_freq: float = 0.0,
         high_freq: Optional[float] = None,
         preemph: float = 0.97,
-        htk: bool = True,
+        htk=audio._UNSET,
+        window=audio._UNSET,
+        center=audio._UNSET,
+        pad_mode: str = "reflect",
+        filterbank=audio._UNSET,
+        fb_norm=audio._UNSET,
+        convention: str = "reference",
         num_cep: int = 13,
         cep_lifter: int = 22,
         append_energy: Optional[bool] = None,
@@ -160,6 +199,12 @@ class DeviceFeaturizer:
         self.nfilt = nfilt
         self.nfft = nfft
         self.preemph = preemph
+        self.convention = convention
+        (self.htk, self.window, self.center, self.filterbank,
+         self.fb_norm) = audio.resolve_convention(
+            convention, htk, window, center, filterbank, fb_norm
+        )
+        self.pad_mode = pad_mode
         self.num_cep = num_cep
         self.cep_lifter = cep_lifter
         self.append_energy = append_energy
@@ -181,9 +226,14 @@ class DeviceFeaturizer:
         cos_m, sin_m = _dft_matrices(self.frame_len, nfft)
         self._cos = jnp.asarray(cos_m, dtype)
         self._sin = jnp.asarray(sin_m, dtype)
-        self._window = jnp.asarray(np.hamming(self.frame_len), dtype)
+        self._window = jnp.asarray(
+            audio.get_window(self.window)(self.frame_len), dtype
+        )
         self._fbank = jnp.asarray(
-            audio.mel_filterbank(nfilt, nfft, fs, low_freq, high_freq, htk).T,
+            audio.mel_filterbank(
+                nfilt, nfft, fs, low_freq, high_freq, self.htk,
+                construction=self.filterbank, norm=self.fb_norm,
+            ).T,
             dtype,
         )  # [nbins, nfilt]
         self._dct = jnp.asarray(
@@ -235,6 +285,32 @@ class DeviceFeaturizer:
                 out = out / (std + self.eps)
         return out * maskf, feat_lengths
 
+    def _prep(self, wavs: jax.Array, wav_lengths: jax.Array):
+        """Shared signal prep for the XLA and Pallas paths: pre-emphasis,
+        per-row zeroing beyond the true length (the oracle pads zeros
+        AFTER pre-emphasis), and librosa centering when enabled.  Returns
+        (signal, static frame count, per-row frame lengths); framing then
+        reads ``signal`` at offsets t*frame_step with a frame_len window
+        in BOTH conventions."""
+        batch, n_samples = wavs.shape
+        pre = jnp.concatenate(
+            [wavs[:, :1], wavs[:, 1:] - self.preemph * wavs[:, :-1]], axis=1
+        )
+        pre = jnp.where(
+            jnp.arange(n_samples)[None, :] < wav_lengths[:, None], pre, 0.0
+        )
+        t_out = int(audio.num_frames(
+            n_samples, self.frame_len, self.frame_step, center=self.center
+        ))
+        feat_lengths = device_num_frames(
+            wav_lengths, self.frame_len, self.frame_step, center=self.center
+        )
+        if self.center:
+            pre = _center_pad_batch(
+                pre, wav_lengths, self.frame_len // 2, self.pad_mode
+            )
+        return pre, t_out, feat_lengths
+
     # -- core (jitted) ----------------------------------------------------
     def _transform(self, wavs: jax.Array, wav_lengths: jax.Array):
         batch, n_samples = wavs.shape
@@ -244,19 +320,10 @@ class DeviceFeaturizer:
             # [B, N] -> [B, N, 1]; every sample is a frame (audio.Raw)
             return self._finalize(wavs[..., None], wav_lengths)
 
-        # pre-emphasis, then zero beyond each wav's true length so padded
-        # tails match the oracle (which pads zeros AFTER pre-emphasis)
-        pre = jnp.concatenate(
-            [wavs[:, :1], wavs[:, 1:] - self.preemph * wavs[:, :-1]], axis=1
-        )
-        pre = jnp.where(
-            jnp.arange(n_samples)[None, :] < wav_lengths[:, None], pre, 0.0
-        )
-
-        t_out = int(audio.num_frames(n_samples, self.frame_len, self.frame_step))
+        pre, t_out, feat_lengths = self._prep(wavs, wav_lengths)
         pad_len = (t_out - 1) * self.frame_step + self.frame_len
-        if pad_len > n_samples:
-            pre = jnp.pad(pre, ((0, 0), (0, pad_len - n_samples)))
+        if pad_len > pre.shape[1]:
+            pre = jnp.pad(pre, ((0, 0), (0, pad_len - pre.shape[1])))
         idx = (
             jnp.arange(t_out)[:, None] * self.frame_step
             + jnp.arange(self.frame_len)[None, :]
@@ -275,9 +342,6 @@ class DeviceFeaturizer:
         feat = jnp.einsum("btk,kf->btf", pspec, self._fbank, precision=_PREC)
         feat = jnp.maximum(feat, jnp.finfo(jnp.float32).eps)
 
-        feat_lengths = device_num_frames(
-            wav_lengths, self.frame_len, self.frame_step
-        )
         if self.kind == "fbank":
             return self._finalize(feat, feat_lengths)
 

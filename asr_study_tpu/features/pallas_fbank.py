@@ -33,11 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from asr_study_tpu.features import audio
-from asr_study_tpu.features.device import (
-    DeviceFeaturizer,
-    _delta_device,
-    device_num_frames,
-)
+from asr_study_tpu.features.device import DeviceFeaturizer, _delta_device
 
 _TT = 128            # frames per grid step
 
@@ -152,23 +148,19 @@ class PallasFeaturizer(DeviceFeaturizer):
         wavs = wavs.astype(self.dtype)
         wav_lengths = wav_lengths.astype(jnp.int32)
 
-        pre = jnp.concatenate(
-            [wavs[:, :1], wavs[:, 1:] - self.preemph * wavs[:, :-1]], axis=1
-        )
-        pre = jnp.where(
-            jnp.arange(n_samples)[None, :] < wav_lengths[:, None], pre, 0.0
-        )
+        # shared prep (preemph + zeroing + optional librosa centering);
+        # framing below reads `pre` at t*hop in both conventions
+        pre, t_out, feat_lengths = self._prep(wavs, wav_lengths)
 
         hop = self.frame_step
-        t_out = int(audio.num_frames(n_samples, self.frame_len, hop))
         t_pad = ((t_out + _TT - 1) // _TT) * _TT
         n_tiles = t_pad // _TT
         n_parts = -(-self.frame_len // hop)      # ceil
         l_pad = n_parts * hop                    # padded frame length
         n_rows = t_pad + n_parts
         need = n_rows * hop
-        if need > n_samples:
-            pre = jnp.pad(pre, ((0, 0), (0, need - n_samples)))
+        if need > pre.shape[1]:
+            pre = jnp.pad(pre, ((0, 0), (0, need - pre.shape[1])))
         rows = pre[:, :need].reshape(batch, n_rows, hop)
         # hop-shifted views; view j's row t holds samples [t*hop + j*hop)
         views = [rows[:, j : j + t_pad, :] for j in range(n_parts)]
@@ -259,7 +251,6 @@ class PallasFeaturizer(DeviceFeaturizer):
         )
         base = base[:, :t_out]
 
-        feat_lengths = device_num_frames(wav_lengths, self.frame_len, hop)
         if self.kind == "fbank":
             # kernel emits log-mel; undo the log for linear fbank parity
             out = jnp.exp(base)

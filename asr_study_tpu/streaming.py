@@ -93,13 +93,20 @@ class StreamingFeaturizer:
             raise ValueError(
                 f"unsupported feature type {type(feature).__name__}"
             )
+        if getattr(feature, "center", False):
+            raise ValueError(
+                "streaming does not support center=True (librosa) framing:"
+                " centered frames need future samples and an end-of-stream"
+                " reflection; use convention='reference'"
+            )
         self.feature = feature
         self.frame_len = int(round(feature.win_len * feature.fs))
         self.frame_step = int(round(feature.win_step * feature.fs))
-        self._window = np.hamming(self.frame_len)
+        self._window = audio.get_window(feature.window)(self.frame_len)
         f = feature
         self._fb = audio.mel_filterbank(
-            f.nfilt, f.nfft, f.fs, f.low_freq, f.high_freq, f.htk
+            f.nfilt, f.nfft, f.fs, f.low_freq, f.high_freq, f.htk,
+            construction=f.filterbank, norm=f.fb_norm,
         )
         if isinstance(f, audio.MFCC):
             self._dct = audio.dct2_ortho_matrix(f.nfilt, f.num_cep)

@@ -10,6 +10,7 @@ import pytest
 import scipy.fft
 
 from asr_study_tpu.features import audio as A
+from asr_study_tpu.features import audio
 
 
 def _sig(n=4000, seed=0):
@@ -178,3 +179,95 @@ def test_registry():
     assert cls is A.MFCC
     with pytest.raises(KeyError):
         get_from_module("feature", "nope")
+
+
+# ---------------------------------------------------------------------------
+# librosa-convention mode (VERDICT r2 #3)
+# ---------------------------------------------------------------------------
+
+class TestLibrosaConvention:
+    def test_center_framing_matches_torch_stft(self):
+        """Independent oracle: our center=True power spectrum must equal
+        torch.stft(center=True, pad_mode='reflect') with a 400-sample
+        periodic-hann window padded to nfft=512 — torch places the window
+        centered in the n_fft frame, which shifts ours by a pure phase
+        that |.|^2 kills."""
+        import torch
+
+        rng = np.random.RandomState(0)
+        sig = (0.3 * np.sin(2 * np.pi * 317 * np.arange(7000) / 16000.0)
+               + 0.05 * rng.randn(7000)).astype(np.float64)
+        fl, hop, nfft = 400, 160, 512
+        win = audio.periodic_hann(fl)
+
+        padded = audio.center_pad(sig, fl // 2, "reflect")
+        nf = audio.num_frames(len(sig), fl, hop, center=True)
+        frames = audio.frame_signal(padded, fl, hop, win, n_frames=nf)
+        pspec = audio.power_spectrum(frames, nfft)
+
+        t = torch.stft(
+            torch.from_numpy(sig), n_fft=nfft, hop_length=hop,
+            win_length=fl, window=torch.from_numpy(win),
+            center=True, pad_mode="reflect", return_complex=True,
+        )
+        want = (t.abs().numpy() ** 2).T / nfft      # [T, K]
+        assert want.shape[0] == nf
+        np.testing.assert_allclose(pspec, want, rtol=1e-7, atol=1e-10)
+
+    def test_librosa_filterbank_shape(self):
+        """Continuous-triangle construction: peak at the centre frequency,
+        support exactly (hz[j], hz[j+2]), linear flanks, and the Slaney
+        area norm scales each triangle by 2/bandwidth."""
+        nfilt, nfft, sr = 40, 512, 16000
+        fb = audio.mel_filterbank(nfilt, nfft, sr, htk=False,
+                                  construction="librosa")
+        fbn = audio.mel_filterbank(nfilt, nfft, sr, htk=False,
+                                   construction="librosa", norm="slaney")
+        mel_pts = np.linspace(audio.hz_to_mel(0.0, False),
+                              audio.hz_to_mel(sr / 2.0, False), nfilt + 2)
+        hz = audio.mel_to_hz(mel_pts, False)
+        freqs = np.arange(nfft // 2 + 1) * sr / nfft
+        for j in (0, 7, 20, 39):
+            inside = (freqs > hz[j]) & (freqs < hz[j + 2])
+            assert np.all(fb[j][~inside] == 0.0)
+            # linear flanks evaluated in continuous frequency space
+            up = (freqs - hz[j]) / (hz[j + 1] - hz[j])
+            down = (hz[j + 2] - freqs) / (hz[j + 2] - hz[j + 1])
+            want = np.maximum(0.0, np.minimum(up, down))
+            np.testing.assert_allclose(fb[j], want, atol=1e-12)
+            np.testing.assert_allclose(
+                fbn[j], want * 2.0 / (hz[j + 2] - hz[j]), atol=1e-12
+            )
+        # quantized construction differs (bin-snapped breakpoints)
+        fq = audio.mel_filterbank(nfilt, nfft, sr, htk=False)
+        assert np.abs(fb - fq).max() > 0.01
+
+    def test_convention_resolution(self):
+        m = audio.MFCC(convention="librosa")
+        assert (m.htk, m.window, m.center) == (False, "hann", True)
+        assert (m.filterbank, m.fb_norm) == ("librosa", "slaney")
+        # explicit knobs beat the convention defaults
+        m2 = audio.MFCC(convention="librosa", htk=True, center=False)
+        assert m2.htk is True and m2.center is False
+        assert m2.filterbank == "librosa"
+        d = audio.MFCC()
+        assert (d.htk, d.window, d.center) == (True, "hamming", False)
+        assert (d.filterbank, d.fb_norm) == ("quantized", None)
+        with pytest.raises(ValueError, match="convention"):
+            audio.MFCC(convention="nope")
+        with pytest.raises(ValueError, match="window"):
+            audio.MFCC(window="blackman")
+
+    def test_center_num_frames(self):
+        for ln in (1, 159, 160, 400, 401, 7000):
+            assert audio.num_frames(ln, 400, 160, center=True) \
+                == 1 + ln // 160
+
+    def test_librosa_mfcc_runs_end_to_end(self):
+        rng = np.random.RandomState(1)
+        sig = rng.randn(5000).astype(np.float32) * 0.2
+        m = audio.MFCC(convention="librosa")
+        out = m(sig)
+        assert out.shape == (audio.num_frames(5000, 400, 160, center=True),
+                             m.num_feats)
+        assert np.all(np.isfinite(out))

@@ -18,6 +18,12 @@ from tests.test_features_device import _rand_wavs
     ("logfbank", {"append_energy": True, "d": True, "dd": True}),
     ("fbank", {}),
     ("raw", {"mean_norm": True}),
+    # librosa-convention mode: both paths share _prep (centering) and the
+    # operator tables (hann window, continuous Slaney filterbank), so the
+    # Pallas kernel must track the XLA path exactly here too
+    ("mfcc", {"convention": "librosa"}),
+    ("logfbank", {"convention": "librosa", "d": True, "dd": True}),
+    ("mfcc", {"center": True}),
 ])
 def test_pallas_matches_xla_path(kind, kw):
     wavs, lengths = _rand_wavs(batch=2, n=7000)
