@@ -137,6 +137,13 @@ def main(argv=None) -> int:
 
     avail = len(jax.devices())
     tp = max(1, args.tp_devices)
+    if tp > 1:
+        from asr_study_tpu.parallel.tp import validate_tp
+
+        try:
+            validate_tp(model, tp)
+        except ValueError as e:
+            raise SystemExit(f"--tp_devices {tp}: {e}") from None
     n_dev = args.num_devices or avail // tp
     if n_dev * tp > avail:
         raise SystemExit(

@@ -74,6 +74,29 @@ def _hold(mask_t, new, old):
     return jnp.where(mask_t > 0, new, old)
 
 
+def validate_tp(model, num_shards: int) -> None:
+    """Fail FAST (for CLI startup) if the model can't run tensor-parallel:
+    tp_scan supports plain LSTM/GRU cells with hidden divisible by the
+    shard count.  Raises ValueError with the same messages the apply-time
+    checks would, so users see them before any compile/init work."""
+    from asr_study_tpu.models.cells import GRUCell, LSTMCell
+
+    if num_shards <= 1:
+        return
+    for layer in model.rnn.layers:
+        cell = layer.cell
+        if type(cell) not in (LSTMCell, GRUCell):
+            raise ValueError(
+                f"tensor parallelism supports lstm/gru cells, got "
+                f"{type(cell).__name__} — run this cell data-parallel only"
+            )
+        if cell.hidden % num_shards:
+            raise ValueError(
+                f"hidden={cell.hidden} not divisible by {num_shards} "
+                "model shards"
+            )
+
+
 def tp_scan(cell, params, x, mask, axis_name: str, num_shards: int,
             reverse: bool = False):
     """One direction of a gate-dim-sharded lstm/gru recurrence.

