@@ -321,3 +321,24 @@ def test_train_lm_from_text_file(tmp_path, capsys):
     assert report["num_sequences"] == 2
     lm = CharNGramLM.load(out)
     assert lm.order == 3 and lm.logp.shape == (27 * 27, 27)
+
+
+def test_parity_snapshot_roundtrip(tmp_path):
+    """extras/parity_snapshot.py: create -> verify must pass, and the
+    committed artifact (parity/oracle_v1.npz) must match the current
+    oracle — the regression set for the 'bit-for-bit within tolerance'
+    north-star clause (VERDICT r2 #5)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "extras"))
+    from parity_snapshot import main as snap_main
+
+    out = str(tmp_path / "snap.npz")
+    assert snap_main(["create", "--out", out]) == 0
+    assert snap_main(["verify", out]) == 0
+    committed = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "parity", "oracle_v1.npz")
+    assert snap_main(["verify", committed]) == 0
