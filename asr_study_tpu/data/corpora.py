@@ -32,9 +32,26 @@ def _hash_split(key: str, valid_frac: float = 0.05, test_frac: float = 0.05) -> 
     return "train"
 
 
+def _read_decoded(path: str) -> str:
+    """Read a transcript/prompt file, tolerating the encodings found in
+    the real corpus distributions: UTF-8 first, ISO-8859-1 (Latin-1)
+    fallback — VoxForge/Sid PT-BR prompt files are frequently Latin-1,
+    and a replacement-char decode would silently fail ``is_valid`` and
+    DROP the utterance at dataset build."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _read_text(path: str) -> str:
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        return f.read().strip()
+    return _read_decoded(path).strip()
+
+
+def _read_lines(path: str):
+    return _read_decoded(path).splitlines()
 
 
 @register("corpus")
@@ -101,21 +118,20 @@ class VoxForge(DatasetParser):
             if prompts is None:
                 continue
             speaker = sub.split("-")[0]
-            with open(prompts, "r", encoding="utf-8", errors="replace") as f:
-                for line in f:
-                    parts = line.strip().split(None, 1)
-                    if len(parts) != 2:
-                        continue
-                    utt_id = parts[0].rsplit("/", 1)[-1]
-                    wav = os.path.join(sub_dir, "wav", utt_id + ".wav")
-                    if not os.path.exists(wav):
-                        continue
-                    yield {
-                        "audio": wav,
-                        "label": parts[1],
-                        "speaker": speaker,
-                        "split": "train",
-                    }
+            for line in _read_lines(prompts):
+                parts = line.strip().split(None, 1)
+                if len(parts) != 2:
+                    continue
+                utt_id = parts[0].rsplit("/", 1)[-1]
+                wav = os.path.join(sub_dir, "wav", utt_id + ".wav")
+                if not os.path.exists(wav):
+                    continue
+                yield {
+                    "audio": wav,
+                    "label": parts[1],
+                    "speaker": speaker,
+                    "split": "train",
+                }
 
 
 @register("corpus")
@@ -139,11 +155,10 @@ class Sid(DatasetParser):
             for cand in ("prompts.txt", "PROMPTS", "prompts"):
                 p = os.path.join(spk_dir, cand)
                 if os.path.exists(p):
-                    with open(p, "r", encoding="utf-8", errors="replace") as f:
-                        for line in f:
-                            m = self._IDX_RE.match(line.strip())
-                            if m:
-                                prompts[int(m.group(1))] = m.group(2)
+                    for line in _read_lines(p):
+                        m = self._IDX_RE.match(line.strip())
+                        if m:
+                            prompts[int(m.group(1))] = m.group(2)
                     break
             for fname in sorted(os.listdir(spk_dir)):
                 if not fname.lower().endswith(".wav"):
