@@ -60,10 +60,8 @@ def _mm(x, w_ref):
     )
 
 
-def _lstm_cell_math(xp_t, h_prev, c_prev, m, wh_ref, hidden):
-    # cast to the weights' dtype: Mosaic rejects mixed f32 x bf16 matmuls,
-    # and this is exactly the bf16-mixed-precision semantics of cells._dot
-    gates = xp_t + _mm(h_prev, wh_ref)                  # [B, 4H]
+def _lstm_gates_apply(gates, h_prev, c_prev, m, hidden):
+    """Nonlinearity + state update from precomputed gate pre-activations."""
     i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
     f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
@@ -73,6 +71,13 @@ def _lstm_cell_math(xp_t, h_prev, c_prev, m, wh_ref, hidden):
     h = jnp.where(m > 0, h, h_prev)
     c = jnp.where(m > 0, c, c_prev)
     return h, c
+
+
+def _lstm_cell_math(xp_t, h_prev, c_prev, m, wh_ref, hidden):
+    # cast to the weights' dtype: Mosaic rejects mixed f32 x bf16 matmuls,
+    # and this is exactly the bf16-mixed-precision semantics of cells._dot
+    gates = xp_t + _mm(h_prev, wh_ref)                  # [B, 4H]
+    return _lstm_gates_apply(gates, h_prev, c_prev, m, hidden)
 
 
 def _fwd_kernel(xp_ref, mask_ref, wh_ref, h_out_ref, c_out_ref,
