@@ -244,12 +244,17 @@ def pack_batches(
 # positions become data-dependent per SAMPLE, which forces gathers (~8x
 # slower than slices on v5e, BENCHMARKS.md).  dpack keeps (a) and replaces
 # (b) with per-BLOCK fixed-width packing: within a 4096-sample block every
-# zigzagged delta is stored at the block's max bit-length, so inside a
-# block the layout is STATIC — 16 samples occupy exactly w words — and the
-# decoder is slices + shifts under a 17-way lax.switch.  Cost vs Rice:
+# zigzagged delta is stored at the block's max bit-length.  Cost vs Rice:
 # ~1.3 bits/sample on speech-shaped signals (max-of-block vs per-sample
-# codes); gain: the decode is one scan over blocks, no per-sample control
-# flow.
+# codes); gain: no per-sample control flow on device.
+#
+# Block payloads are stored as BIT PLANES (w_j planes of 256 words each;
+# plane p, word m, bit i = bit p of sample 16m+i).  This makes the decode
+# layout IDENTICAL for every width: each plane expands with the same
+# static shift pattern and a (p < w_j) mask drops the planes a block
+# doesn't have — uniform elementwise ops XLA fuses into one pass, where
+# the earlier sample-major bitstream needed a 17-way per-block
+# lax.switch (measured 2.6x slower decode; BENCHMARKS.md r3).
 #
 # Wire layout (int16 words), with B = batch, NBCAP = scap // 4096:
 #   [0, 2B)            sample-length header (15-bit split, as pcm16)
@@ -270,7 +275,7 @@ def pack_batches(
 
 _DPACK_BLOCK = 4096
 _DPACK_GROUP = 16                       # samples per word-aligned group
-_DPACK_GPB = _DPACK_BLOCK // _DPACK_GROUP   # 64 groups per block
+_DPACK_GPB = _DPACK_BLOCK // _DPACK_GROUP   # 256 words per plane/group
 
 
 def _dpack_deltas(wavs: Sequence[np.ndarray]) -> Tuple[np.ndarray, list]:
@@ -328,11 +333,12 @@ def dpack_encode(
         if sel.size == 0:
             continue
         v = blocks[sel].reshape(-1, _DPACK_GPB, _DPACK_GROUP)
-        # group bitstream position of sample r bit t is r*w + t: C-order
-        # flatten of [16, w] bit planes, regrouped into 16-bit words
+        # bit-plane layout: plane p, word m, bit i = bit p of sample 16m+i
         bits = ((v[..., None] >> np.arange(w, dtype=np.uint32)) & 1)
-        bits = bits.reshape(sel.size, _DPACK_GPB, w, _DPACK_GROUP)
-        words = (bits.astype(np.uint32) * shift16).sum(-1).astype(np.uint16)
+        planes = (
+            bits.astype(np.uint32) * shift16[None, None, :, None]
+        ).sum(2)                                     # [K, 256, w]
+        words = planes.transpose(0, 2, 1).astype(np.uint16)  # [K, w, 256]
         idx = (
             word_off[sel][:, None]
             + np.arange(_DPACK_GPB * w, dtype=np.int64)[None, :]
@@ -394,20 +400,7 @@ def dpack_measure(
     return cap, scap
 
 
-def _dpack_unpack_block(w: int, words: jax.Array) -> jax.Array:
-    """One block's words -> [4096] zigzag values, STATIC w."""
-    if w == 0:
-        return jnp.zeros((_DPACK_BLOCK,), jnp.int32)
-    grp = words[: _DPACK_GPB * w].reshape(_DPACK_GPB, w)
-    mask = (1 << w) - 1
-    cols = []
-    for r in range(_DPACK_GROUP):
-        k, s = (r * w) >> 4, (r * w) & 15
-        lo = grp[:, k] >> s
-        if s and k + 1 < w:
-            lo = lo | (grp[:, k + 1] << (16 - s))
-        cols.append(lo & mask)
-    return jnp.stack(cols, axis=1).reshape(_DPACK_BLOCK)
+_DPACK_ASM_K = 8     # blocks assembled per scan step (amortizes overhead)
 
 
 def dpack_unpack(
@@ -416,6 +409,17 @@ def dpack_unpack(
     """dpack wire -> (float32 [batch, n_pad] padded wavs, lengths).
 
     Jittable; batch/n_pad/scap static.  Bit-identical to the pcm16 path.
+
+    Decode shape (r3): blocks are contiguous in the payload, so a scan
+    step slices a WINDOW of _DPACK_ASM_K blocks with one big
+    dynamic_slice and carves the K blocks out of it (8x fewer scan steps
+    than one block per step).  Thanks to the bit-plane payload layout,
+    the bit unpacking itself needs NO per-block control flow: every
+    block's plane p sits at the same 256-word offset, each plane expands
+    with one static shift pattern, and a (p < width) mask drops the
+    planes a block doesn't have — 16 uniform elementwise passes XLA
+    fuses into one, instead of the sample-major layout's 17-way
+    per-block lax.switch (measured 2.6x slower; BENCHMARKS.md r3).
     """
     if scap % _DPACK_BLOCK:
         raise ValueError(f"scap must be a multiple of {_DPACK_BLOCK}")
@@ -427,20 +431,36 @@ def dpack_unpack(
 
     widths = flat[hdr: hdr + nbcap].astype(jnp.int32)
     csum = jnp.cumsum(widths)
-    word_off = hdr + nbcap + _DPACK_GPB * (csum - widths)
-    # a block reads at most 64*16 words; pad so the tail slice is in range
-    src = jnp.pad(flat, (0, _DPACK_GPB * 16)).astype(jnp.int32) & 0xFFFF
-    branches = [
-        lambda words, _w=w: _dpack_unpack_block(_w, words)
-        for w in range(17)
-    ]
+    word_off = (hdr + nbcap + _DPACK_GPB * (csum - widths)).astype(
+        jnp.int32
+    )
 
-    def block(carry, w_off):
-        w, off = w_off
-        words = jax.lax.dynamic_slice_in_dim(src, off, _DPACK_GPB * 16)
-        return carry, jax.lax.switch(w, branches, words)
+    # 1) assemble padded [nbcap, 16, 256] plane words, K blocks per step
+    k_asm = min(_DPACK_ASM_K, nbcap)
+    nb_pad = -(-nbcap // k_asm) * k_asm
+    off_p = jnp.pad(word_off, (0, nb_pad - nbcap)).reshape(-1, k_asm)
+    win = (k_asm + 1) * _DPACK_GPB * 16
+    src = jnp.pad(flat, (0, win)).astype(jnp.int32) & 0xFFFF
 
-    _, u = jax.lax.scan(block, 0, (widths, word_off))   # [nbcap, 4096]
+    def asm(carry, offs):
+        w0 = jax.lax.dynamic_slice_in_dim(src, offs[0], win)
+        rows = [
+            jax.lax.dynamic_slice_in_dim(
+                w0, offs[j] - offs[0], _DPACK_GPB * 16
+            )
+            for j in range(k_asm)
+        ]
+        return carry, jnp.stack(rows)
+
+    _, blocks = jax.lax.scan(asm, 0, off_p)
+    planes = blocks.reshape(nb_pad, 16, _DPACK_GPB)[:nbcap]
+
+    # 2) branch-free bit-plane expansion (one fused elementwise pass)
+    shifts = jnp.arange(_DPACK_GROUP, dtype=jnp.int32)
+    u = jnp.zeros((nbcap, _DPACK_GPB, _DPACK_GROUP), jnp.int32)
+    for p in range(16):
+        bit = (planes[:, p, :, None] >> shifts) & 1
+        u = u + jnp.where(widths[:, None, None] > p, bit << p, 0)
     u = u.reshape(scap)
     d = (u >> 1) ^ -(u & 1)                             # un-zigzag
     c = jnp.cumsum(d)            # int32 wraps; exact mod 2^16 (see above)

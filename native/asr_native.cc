@@ -151,30 +151,46 @@ void asr_pack_batch_full(const float* src, const int64_t* offsets,
 // dpack wire codec: lossless delta + per-block bit-packing (encode side)
 // ---------------------------------------------------------------------------
 
+// Transposes a 16x16 bit matrix in place (Hacker's Delight transpose32
+// specialized to 16 lanes): out word p bit i = in word i bit p.
+static inline void transpose16x16(uint16_t x[16]) {
+  uint32_t m = 0x00FF;
+  for (int j = 8; j != 0; j >>= 1, m ^= (m << j)) {
+    for (int k = 0; k < 16; k = (k + j + 1) & ~j) {
+      uint32_t t = (x[k] ^ (x[k + j] >> j)) & m;
+      x[k] = (uint16_t)(x[k] ^ t);
+      x[k + j] = (uint16_t)(x[k + j] ^ (t << j));
+    }
+  }
+}
+
 // Encodes a concatenated int16 sample stream for the dpack wire codec
 // (data/wire.py): per 4096-sample block, int16-wraparound deltas are
-// zigzagged and stored as a flat little-endian bitstream of w-bit values,
-// w = the block max's bit-length.  `widths` receives ceil(n/4096) entries;
-// `payload` must hold ceil(n/4096)*4096 uint16 words (worst case w=16,
-// partial final block included).  Returns
-// the payload word count.  Byte-identical to the NumPy reference encoder
-// (tests/test_wire.py).
+// zigzagged and stored as w BIT PLANES of 256 words each (plane p, word
+// m, bit i = bit p of sample 16m+i), w = the block max's bit-length.
+// `widths` receives ceil(n/4096) entries; `payload` must hold
+// ceil(n/4096)*4096 uint16 words (worst case w=16, partial final block
+// included).  Returns the payload word count.  Byte-identical to the
+// NumPy reference encoder (tests/test_wire.py).  The plane transpose of
+// each 16-sample group is one 16x16 bit-matrix transpose (log-depth
+// swap network), not a per-bit loop.
 long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
                       uint16_t* payload) {
   const long kBlock = 4096;
+  const long kWords = kBlock / 16;   // 256 words per plane
   long nb = (n + kBlock - 1) / kBlock;
   long out = 0;
   int16_t prev = 0;
   for (long b = 0; b < nb; ++b) {
     long lo = b * kBlock;
     long hi = std::min(n, lo + kBlock);
-    uint32_t u[4096];
+    uint16_t u[4096];
     uint32_t mx = 0;
     for (long i = lo; i < hi; ++i) {
       int32_t d = (int16_t)(uint16_t)((uint16_t)s[i] - (uint16_t)prev);
       prev = s[i];
       uint32_t z = (uint32_t)((d << 1) ^ (d >> 31));
-      u[i - lo] = z;
+      u[i - lo] = (uint16_t)z;
       mx |= z;  // same highest set bit as the max
     }
     for (long i = hi - lo; i < kBlock; ++i) u[i] = 0;
@@ -182,18 +198,18 @@ long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
     while (mx >> w) ++w;
     widths[b] = (uint8_t)w;
     if (w == 0) continue;
-    uint64_t acc = 0;
-    int nbits = 0;
-    for (long i = 0; i < kBlock; ++i) {
-      acc |= (uint64_t)u[i] << nbits;
-      nbits += w;
-      while (nbits >= 16) {
-        payload[out++] = (uint16_t)acc;
-        acc >>= 16;
-        nbits -= 16;
-      }
+    uint16_t* dst = payload + out;
+    for (long m = 0; m < kWords; ++m) {
+      // out word p bit i must be bit p of sample i.  The swap network
+      // above computes the MSB-oriented (anti-)transpose — out[k] bit j
+      // = in[15-j] bit [15-k] — so loading samples reversed and reading
+      // planes reversed yields the straight LSB transpose.
+      uint16_t g[16];
+      for (int i = 0; i < 16; ++i) g[i] = u[16 * m + 15 - i];
+      transpose16x16(g);
+      for (int p = 0; p < w; ++p) dst[(long)p * kWords + m] = g[15 - p];
     }
-    // 4096*w is a multiple of 16, so each block ends word-aligned
+    out += (long)w * kWords;
   }
   return out;
 }
