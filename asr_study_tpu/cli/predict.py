@@ -8,9 +8,10 @@ Two serving paths:
 
 - default: host (NumPy oracle) features, matching the reference's
   librosa-on-CPU behavior bit for bit — the parity path.
-- ``--on_device``: the TPU-first path — raw audio crosses the link once
-  per batch in the ragged int16 wire format (data/wire.py) and features,
-  acoustic model, and decoding all run inside ONE jitted program.
+- ``--on_device``: the TPU-first path — ALL batches' raw audio crosses
+  the link in one coalesced ragged int16 wire transfer (data/wire.py;
+  optionally dpack-compressed), each batch is sliced out on device, and
+  features, acoustic model, and decoding run inside ONE jitted program.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ import argparse
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from asr_study_tpu.ops import beam_search_decode, greedy_decode
@@ -120,7 +122,14 @@ def _decode(logits, lengths, beam_width: int, blank_id: int,
 
 
 def _predict_on_device(args, model, state, feat_kw, lm=None):
-    """Ragged wire -> device features -> model -> decode, one jit."""
+    """Ragged wire -> device features -> model -> decode, one jit.
+
+    The wire rides the same transport shape the headline bench measures
+    (BENCHMARKS.md r3): per-batch EXACT-size buffers coalesced into ONE
+    host->device transfer (each separate transfer costs ~25 ms of setup
+    on a remote link), device-side slicing of each batch's static-[cap]
+    window, and pooled output fetches.
+    """
     from asr_study_tpu.data import wire
     from asr_study_tpu.features.select import featurizer_candidates
     from asr_study_tpu.features.wav import read_wav
@@ -128,16 +137,29 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
     wavs = [read_wav(p)[0] for p in args.wavs]
     batch = max(1, min(args.batch_size, len(wavs)))
     n_pad = -(-max(len(w) for w in wavs) // 2048) * 2048
+    groups = [wavs[i: i + batch] for i in range(0, len(wavs), batch)]
     if args.wire_codec == "dpack":
-        groups = [wavs[i: i + batch] for i in range(0, len(wavs), batch)]
-        cap, scap = wire.dpack_measure(groups, batch)
-        bufs = [
-            wire.pack_audio(g, cap, batch=batch, codec="dpack", scap=scap)
+        scap = max(wire.dpack_measure([g], batch)[1] for g in groups)
+        caps = []
+        for g in groups:
+            _, widths, payload, _ = wire.dpack_encode(g)
+            need = 2 * batch + scap // 4096 + payload.shape[0]
+            caps.append(-(-need // 256) * 256)
+    else:
+        scap = None
+        caps = [
+            wire.wire_cap(batch, sum(len(w) for w in g), align=256,
+                          codec=args.wire_codec)
             for g in groups
         ]
-    else:
-        bufs, _cap = wire.pack_batches(wavs, batch, codec=args.wire_codec)
-        scap = None
+    cap = max(caps)
+    bufs = [
+        wire.pack_audio(g, c, batch=batch, codec=args.wire_codec,
+                        scap=scap)
+        for g, c in zip(groups, caps)
+    ]
+    offs = np.cumsum([0] + caps[:-1])
+    chunk = np.concatenate(bufs + [np.zeros(cap - caps[-1], np.int16)])
 
     def make_serve(featurizer):
         @jax.jit
@@ -153,6 +175,11 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
             )
         return serve
 
+    @jax.jit
+    def slice_group(chunk_flat, off):
+        return jax.lax.dynamic_slice_in_dim(chunk_flat, off, cap)
+
+    dev_chunk = jnp.asarray(chunk)      # ONE transfer for all batches
     # Probe each candidate with ONE compile-forcing call; only a failure
     # of THAT moves to the next (Mosaic rejecting an exotic config).
     # Errors in the remaining batches re-raise as themselves — a bare
@@ -162,7 +189,7 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
     for n_left, featurizer in enumerate(candidates, 1):
         serve = make_serve(featurizer)
         try:
-            probe = serve(state.params, bufs[0])
+            probe = serve(state.params, slice_group(dev_chunk, offs[0]))
             np.asarray(probe[0])    # force compile + execute
             break
         except Exception as e:
@@ -176,10 +203,19 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
                 "feature path",
                 file=sys.stderr,
             )
-    outs = [probe] + [serve(state.params, b) for b in bufs[1:]]
+    outs = [probe] + [
+        serve(state.params, slice_group(dev_chunk, off))
+        for off in offs[1:]
+    ]
 
-    dec = np.concatenate([np.asarray(d) for d, _ in outs])[: len(wavs)]
-    lens = np.concatenate([np.asarray(l) for _, l in outs])[: len(wavs)]
+    # pooled fetches: each np.asarray is a network round trip on a
+    # remote link; serializing them charges ~30 ms per array
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as pool:
+        got = list(pool.map(np.asarray, [a for pair in outs for a in pair]))
+    dec = np.concatenate(got[0::2])[: len(wavs)]
+    lens = np.concatenate(got[1::2])[: len(wavs)]
     return dec, lens
 
 
