@@ -242,6 +242,29 @@ class TestDpackCodec:
         np.testing.assert_array_equal(a[1], b[1])
         np.testing.assert_array_equal(a[2], b[2])
 
+    def test_randomized_roundtrips(self):
+        """Property test: 12 random batch compositions (lengths around
+        block boundaries, int16/float dtypes, extreme amplitudes, empty
+        rows) must all decode bit-identical to pcm16."""
+        rng = np.random.RandomState(42)
+        for trial in range(12):
+            wavs = []
+            for _ in range(rng.randint(1, 6)):
+                n = int(rng.choice([
+                    0, 1, 15, 16, 17, 4095, 4096, 4097,
+                    rng.randint(1, 20000),
+                ]))
+                if rng.rand() < 0.5:
+                    w = rng.randint(-32768, 32768, n).astype(np.int16)
+                else:
+                    w = (rng.randn(n) * rng.choice([0.01, 0.3, 2.0])
+                         ).astype(np.float32)
+                wavs.append(w)
+            n_pad = -(-max(
+                [len(np.asarray(w)) for w in wavs] + [1]
+            ) // 2048) * 2048
+            self._roundtrip(wavs, n_pad=n_pad)
+
     def test_guards(self):
         wavs = _wavs(n=2)
         with pytest.raises(ValueError, match="multiple"):
