@@ -51,6 +51,8 @@ def fit(
             "early_stop_patience requires a validation split (val_loss "
             "drives the stopping decision) — none was provided"
         )
+    import jax.numpy as jnp
+
     writer = MetricWriter(log_dir, "train", tensorboard=tensorboard)
     rng = jax.random.PRNGKey(seed)
     step = int(state.step)
@@ -58,33 +60,41 @@ def fit(
     best_val = float("inf")
     stale_epochs = 0
 
-    def consume(pending, ep):
-        """Fetch a step's (device) metrics one step late, so the NEXT step's
-        dispatch overlaps this sync — on the remote-tunnel backend a host
-        fetch per step would otherwise serialize every dispatch behind the
-        previous step's completion (~28 ms round-trip floor)."""
+    # Epoch loss accumulates ON DEVICE (weighted by real rows, not
+    # batch.size): each step adds two dispatched scalar ops and fetches
+    # NOTHING.  On the remote-tunnel backend any per-step host fetch costs
+    # a ~30 ms round trip; the r2 loop's fetch-one-step-late still paid
+    # 2-3 serial round trips per step (loss, weight, grad_norm), which a
+    # real-corpus TPU soak measured as a 116 -> 6 steps/s collapse on
+    # short utterances.  Host syncs now happen once per log_every steps
+    # (one step LATE, so the next dispatch overlaps them) + once per
+    # epoch.
+    @jax.jit
+    def _acc(acc, loss, w):
+        w = w.astype(jnp.float32)
+        return (acc[0] + loss * w, acc[1] + w)
+
+    def consume_log(pending):
+        """Pooled fetch of a LOG step's metrics (issued >=1 step late)."""
         nonlocal t_last
-        p_step, p_metrics, p_w, p_epoch = pending
+        p_step, p_metrics, p_epoch = pending
         loss = float(p_metrics["loss"])
-        ep[0] += loss * float(p_w)
-        ep[1] += float(p_w)
-        if p_step % log_every == 0:
-            now = time.time()
-            writer.write(
-                p_step,
-                {
-                    "epoch": p_epoch,
-                    "loss": loss,
-                    "grad_norm": float(p_metrics["grad_norm"]),
-                    "steps_per_s": log_every / max(now - t_last, 1e-9),
-                },
-                echo=True,
-            )
-            t_last = now
+        now = time.time()
+        writer.write(
+            p_step,
+            {
+                "epoch": p_epoch,
+                "loss": loss,
+                "grad_norm": float(p_metrics["grad_norm"]),
+                "steps_per_s": log_every / max(now - t_last, 1e-9),
+            },
+            echo=True,
+        )
+        t_last = now
 
     for epoch in range(epochs):
-        ep_acc = [0.0, 0.0]          # weighted loss sum, weight sum
-        pending = None               # (step, device metrics, weight, epoch)
+        ep_acc = (jnp.zeros(()), jnp.zeros(()))
+        pending = None               # (step, device metrics, epoch)
         batches = device_prefetch(
             train_iter.epoch(seed=seed + epoch),
             depth=2,
@@ -101,19 +111,17 @@ def fit(
             if profile and log_dir and step == profile_steps[1]:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-            if pending is not None:
-                consume(pending, ep_acc)
-            # epoch loss weighted by real (non-padding) rows, not
-            # batch.size.  The sum stays a DEVICE scalar until consume()
-            # one step later — float()ing it here would block on the
-            # just-dispatched train step (in-order device queue) and
-            # re-introduce the per-step sync this deferral removes.
-            pending = (step, metrics, batch.weights.sum(), epoch)
+            ep_acc = _acc(ep_acc, metrics["loss"], batch.weights.sum())
+            if step % log_every == 0:
+                if pending is not None:
+                    consume_log(pending)
+                pending = (step, metrics, epoch)
         if pending is not None:
-            consume(pending, ep_acc)
+            consume_log(pending)
 
+        ep_loss, ep_w = (float(x) for x in ep_acc)
         scalars: Dict[str, float] = {
-            "epoch": epoch, "train_loss": ep_acc[0] / max(ep_acc[1], 1e-9)
+            "epoch": epoch, "train_loss": ep_loss / max(ep_w, 1e-9)
         }
         if valid_iter is not None:
             val = trainer.run_eval(state, valid_iter.epoch())
