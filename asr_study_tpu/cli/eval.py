@@ -204,18 +204,24 @@ def main(argv=None) -> int:
     else:
         eval_batch = jax.jit(_eval_core)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    fetch_pool = ThreadPoolExecutor(4)
     hyps, refs = [], []
     tot_loss, tot_n = 0.0, 0
     overflow_utts = 0
     for b in it.epoch():
-        loss, dec, lens, dropped = eval_batch(
+        outs = eval_batch(
             params, b.inputs, b.input_lengths, b.labels,
             b.label_lengths, b.weights,
         )
+        # pooled fetches: each np.asarray is a network round trip on a
+        # remote-attached backend — serialized they cost 4 trips per batch
+        loss, dec, lens, dropped = fetch_pool.map(np.asarray, outs)
         n = int(b.weights.sum())
         tot_loss += float(loss) * n
         tot_n += n
-        n_over = int(np.count_nonzero(np.asarray(dropped) * b.weights))
+        n_over = int(np.count_nonzero(dropped * b.weights))
         if n_over:
             overflow_utts += n_over
             print(
@@ -224,7 +230,6 @@ def main(argv=None) -> int:
                 f"(currently {args.keep_ratio})",
                 file=sys.stderr,
             )
-        dec, lens = np.asarray(dec), np.asarray(lens)
         for i in range(b.size):
             if b.weights[i] == 0:
                 continue

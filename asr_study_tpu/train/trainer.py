@@ -325,19 +325,33 @@ class Trainer:
 
     # -- host-side convenience -------------------------------------------
     def run_eval(self, state: TrainState, batches) -> Dict[str, float]:
-        """Aggregate greedy-decode LER + loss over an iterator of Batch."""
-        tot_dist = tot_chars = tot_loss = n = 0.0
+        """Aggregate greedy-decode LER + loss over an iterator of Batch.
+
+        Accumulates ON DEVICE and fetches once at the end: per-batch
+        ``float()`` fetches are each a network round trip on a
+        remote-attached backend (4 serial trips per batch before r3 — the
+        same collapse the train loop had; BENCHMARKS.md soak)."""
+        acc = None
         for b in batches:
             out = self.eval_step(
                 state, b.inputs, b.input_lengths, b.labels,
                 b.label_lengths, b.weights,
             )
-            tot_dist += float(out["edit_dist"])
-            tot_chars += float(out["label_chars"])
-            tot_loss += float(out["loss"]) * float(out["num_seqs"])
-            n += float(out["num_seqs"])
+            vals = jnp.stack([
+                out["edit_dist"].astype(jnp.float32),
+                out["label_chars"].astype(jnp.float32),
+                out["loss"].astype(jnp.float32)
+                * out["num_seqs"].astype(jnp.float32),
+                out["num_seqs"].astype(jnp.float32),
+            ])
+            acc = vals if acc is None else acc + vals
+        if acc is None:
+            return {"loss": 0.0, "ler": 0.0, "num_seqs": 0.0}
+        import numpy as np
+
+        tot_dist, tot_chars, tot_loss, n = np.asarray(acc)  # ONE fetch
         return {
-            "loss": tot_loss / max(n, 1.0),
-            "ler": tot_dist / max(tot_chars, 1.0),
-            "num_seqs": n,
+            "loss": float(tot_loss) / max(float(n), 1.0),
+            "ler": float(tot_dist) / max(float(tot_chars), 1.0),
+            "num_seqs": float(n),
         }
