@@ -43,6 +43,9 @@ def _chunks(x, sizes):
     LogFbank(d=True, dd=True, append_energy=True),
     LogFbank(),
     FBank(),
+    # non-default conventions stream too (only centering needs lookahead)
+    MFCC(window="hann"),
+    LogFbank(filterbank="librosa", fb_norm="slaney", htk=False),
 ])
 @pytest.mark.parametrize("sizes", [
     (100,),                          # shorter than one frame (400)
@@ -69,6 +72,13 @@ def test_streaming_featurizer_short_utterance():
     out = [sf.push(wav), sf.finish()]
     got = np.vstack([g for g in out if len(g)])
     np.testing.assert_allclose(got, feature(wav), rtol=1e-10, atol=1e-10)
+
+
+def test_streaming_featurizer_rejects_center_framing():
+    """librosa centering reads future samples and reflects at the stream
+    end — structurally incompatible with chunked streaming."""
+    with pytest.raises(ValueError, match="center"):
+        StreamingFeaturizer(MFCC(convention="librosa"))
 
 
 def test_streaming_featurizer_rejects_cmvn_and_raw():
