@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on real corpora; f32 chain, see parity note")
     p.add_argument("--device_batch", type=int, default=32,
                    help="utterances per device batch with --device")
+    p.add_argument("--device_wire_codec", default="pcm16",
+                   choices=("pcm16", "dpack"),
+                   help="--device wire encoding: pcm16 (raw) or dpack "
+                        "(lossless compression, ~25% fewer host->device "
+                        "bytes on speech)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu|tpu); default = env")
     p.add_argument("--vocab", default=None,
@@ -64,7 +69,8 @@ def main(argv=None) -> int:
         )
 
         input_parser = DeviceFeatureExtractor(
-            kind=args.input_parser, batch=args.device_batch, **feat_kw
+            kind=args.input_parser, batch=args.device_batch,
+            wire_codec=args.device_wire_codec, **feat_kw
         )
     else:
         input_parser = get_from_module(

@@ -36,11 +36,20 @@ class DeviceFeatureExtractor:
 
     def __init__(self, kind: str = "mfcc", fs: int = 16000,
                  batch: int = 32, align: int = 16384,
-                 use_pallas: bool = True, **kw):
+                 use_pallas: bool = True, wire_codec: str = "pcm16",
+                 **kw):
+        if wire_codec not in ("pcm16", "dpack"):
+            raise ValueError(
+                f"wire_codec {wire_codec!r}: dataset builds support pcm16 "
+                "(default) or dpack (lossless compression, ~25% fewer "
+                "wire bytes on speech) — mulaw is lossy and would bake "
+                "its quantization into the dataset"
+            )
         self.kind = kind
         self.fs = fs
         self.batch = int(batch)
         self.align = int(align)
+        self.wire_codec = wire_codec
         self._kw = kw
         self._featurizer = None
         self._use_pallas = use_pallas
@@ -74,11 +83,12 @@ class DeviceFeatureExtractor:
             return read_wav(audio, sr=self.fs)[0]
         return np.asarray(audio, np.float32)
 
-    def _serve(self, n_rows: int, n_pad: int):
-        """Jitted wire->features program for one (rows, padded-len) shape,
-        cached per shape (a fresh closure per call would retrace)."""
+    def _serve(self, n_rows: int, n_pad: int, scap=None):
+        """Jitted wire->features program for one (rows, padded-len[,
+        scap]) shape, cached per shape (a fresh closure per call would
+        retrace)."""
         featurizer = self._build()
-        key = (n_rows, n_pad, id(featurizer))
+        key = (n_rows, n_pad, scap, id(featurizer))
         if key in self._serve_cache:
             return self._serve_cache[key]
         import jax
@@ -87,7 +97,9 @@ class DeviceFeatureExtractor:
 
         @jax.jit
         def serve(flat):
-            wavs, lens = wire.unpack_audio(flat, n_rows, n_pad)
+            wavs, lens = wire.unpack_audio(
+                flat, n_rows, n_pad, codec=self.wire_codec, scap=scap
+            )
             return featurizer._transform(wavs, lens)
 
         self._serve_cache[key] = serve
@@ -116,12 +128,25 @@ class DeviceFeatureExtractor:
             group = [wavs[i] for i in idxs]
             n_pad = -(-max(len(w) for w in group) // self.align)
             n_pad *= self.align
-            cap = wire.wire_cap(
-                self.batch, sum(len(w) for w in group), self.align
-            )
-            flat = wire.pack_audio(group, cap, batch=self.batch)
+            total = sum(len(w) for w in group)
+            if self.wire_codec == "dpack":
+                # scap bucketed COARSELY (16-block granularity): each
+                # distinct (n_pad, scap) pair is a compile, and remote
+                # compiles cost minutes
+                grain = 16 * 4096
+                scap = max(grain, -(-total // grain) * grain)
+                _, widths, payload, _ = wire.dpack_encode(group)
+                need = 2 * self.batch + scap // 4096 + payload.shape[0]
+                cap = -(-need // self.align) * self.align
+            else:
+                scap = None
+                cap = wire.wire_cap(self.batch, total, self.align)
+            flat = wire.pack_audio(group, cap, batch=self.batch,
+                                   codec=self.wire_codec, scap=scap)
             try:
-                feats, feat_lens = self._serve(self.batch, n_pad)(flat)
+                feats, feat_lens = self._serve(
+                    self.batch, n_pad, scap
+                )(flat)
             except Exception as e:
                 # Fall back to the XLA device path ONLY if the very first
                 # serve call fails (before anything was extracted, so one
@@ -158,7 +183,7 @@ class DeviceFeatureExtractor:
                 self._use_pallas = False
                 self._featurizer = None
                 self._serve_cache.clear()
-                feats, feat_lens = self._serve(self.batch, n_pad)(flat)
+                feats, feat_lens = self._serve(self.batch, n_pad, scap)(flat)
             self._probed = True
             pending.append((idxs, feats, feat_lens))
         # concurrent fetches: on a remote backend serial np.asarray pays a

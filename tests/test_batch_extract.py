@@ -48,6 +48,25 @@ def test_extract_batch_matches_device_featurizer():
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=5e-4)
 
 
+def test_extract_batch_dpack_matches_pcm16():
+    """The dpack wire is lossless: extraction over it must be
+    BIT-identical to the pcm16 wire (same device program, same samples)."""
+    wavs = _wavs()
+    a = DeviceFeatureExtractor(
+        kind="mfcc", batch=3, align=2048, use_pallas=False
+    ).extract_batch(wavs)
+    b = DeviceFeatureExtractor(
+        kind="mfcc", batch=3, align=2048, use_pallas=False,
+        wire_codec="dpack",
+    ).extract_batch(wavs)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    import pytest
+
+    with pytest.raises(ValueError, match="lossy"):
+        DeviceFeatureExtractor(kind="mfcc", wire_codec="mulaw")
+
+
 def test_extract_close_to_host_oracle():
     wavs = _wavs(seed=3, n=3)
     ex = DeviceFeatureExtractor(
@@ -107,10 +126,10 @@ def test_fallback_scoped_to_first_call():
     )
     real_serve = ex._serve
 
-    def failing_while_pallas(rows, n_pad):
+    def failing_while_pallas(rows, n_pad, scap=None):
         if ex._use_pallas:
             raise RuntimeError("mosaic says no")
-        return real_serve(rows, n_pad)
+        return real_serve(rows, n_pad, scap)
 
     ex._serve = failing_while_pallas
     got = ex.extract_batch(wavs)          # probe fails -> clean fallback
