@@ -136,7 +136,7 @@ def test_fallback_scoped_to_first_call():
     assert ex._use_pallas is False and ex._probed
     assert len(got) == 3 and all(g.ndim == 2 for g in got)
 
-    def transient(rows, n_pad):
+    def transient(rows, n_pad, scap=None):
         raise RuntimeError("transient TPU error")
 
     ex._serve = transient
