@@ -249,12 +249,17 @@ def pack_batches(
 # codes); gain: no per-sample control flow on device.
 #
 # Block payloads are stored as BIT PLANES (w_j planes of 256 words each;
-# plane p, word m, bit i = bit p of sample 16m+i).  This makes the decode
-# layout IDENTICAL for every width: each plane expands with the same
-# static shift pattern and a (p < w_j) mask drops the planes a block
-# doesn't have — uniform elementwise ops XLA fuses into one pass, where
-# the earlier sample-major bitstream needed a 17-way per-block
-# lax.switch (measured 2.6x slower decode; BENCHMARKS.md r3).
+# v2 layout: plane p, word m, bit i = bit p of sample 256*i + m within
+# the block).  This makes the decode layout IDENTICAL for every width:
+# each plane expands with the same static shift pattern and a (p < w_j)
+# mask drops the planes a block doesn't have — uniform elementwise ops
+# XLA fuses into one pass, where the earlier sample-major bitstream
+# needed a 17-way per-block lax.switch (measured 2.6x slower decode;
+# BENCHMARKS.md r3).  The v2 bit orientation (256i+m, not v1's 16m+i)
+# makes the expanded [16, 256] block land in flat sample order
+# row-major, so the Pallas decode kernel (ops/pallas_dpack.py) and the
+# XLA path both write samples with no transpose; lanes carry 256 words
+# (full-width tiles) instead of 16.
 #
 # Wire layout (int16 words), with B = batch, NBCAP = scap // 4096:
 #   [0, 2B)            sample-length header (15-bit split, as pcm16)
@@ -296,7 +301,7 @@ def dpack_encode(
 ) -> Tuple[list, np.ndarray, np.ndarray, int]:
     """Encode to (lengths, widths uint8 [nb], payload int16, n_samples).
 
-    The C++ fast path (native/asr_native.cc::asr_dpack_encode, ~40x the
+    The C++ fast path (native/asr_native.cc::asr_dpack_encode_v2, ~40x the
     NumPy encoder on the 1-core host) is byte-identical to the NumPy
     reference below (tests/test_wire.py); ``use_native=False`` forces the
     reference path.
@@ -332,12 +337,12 @@ def dpack_encode(
         sel = np.nonzero(widths == w)[0]
         if sel.size == 0:
             continue
-        v = blocks[sel].reshape(-1, _DPACK_GPB, _DPACK_GROUP)
-        # bit-plane layout: plane p, word m, bit i = bit p of sample 16m+i
+        # v2 bit planes: plane p, word m, bit i = bit p of sample 256i+m
+        v = blocks[sel].reshape(-1, _DPACK_GROUP, _DPACK_GPB)  # [K, i, m]
         bits = ((v[..., None] >> np.arange(w, dtype=np.uint32)) & 1)
         planes = (
-            bits.astype(np.uint32) * shift16[None, None, :, None]
-        ).sum(2)                                     # [K, 256, w]
+            bits.astype(np.uint32) * shift16[None, :, None, None]
+        ).sum(1)                                     # [K, 256, w]
         words = planes.transpose(0, 2, 1).astype(np.uint16)  # [K, w, 256]
         idx = (
             word_off[sel][:, None]
@@ -402,16 +407,26 @@ def dpack_measure(
 
 _DPACK_ASM_K = 8     # blocks assembled per scan step (amortizes overhead)
 
+_DPACK_BACKENDS = ("auto", "xla", "pallas")
+
 
 def dpack_unpack(
     flat: jax.Array, batch: int, n_pad: int, scap: int,
+    backend: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """dpack wire -> (float32 [batch, n_pad] padded wavs, lengths).
 
     Jittable; batch/n_pad/scap static.  Bit-identical to the pcm16 path.
 
-    Decode shape (r3): blocks are contiguous in the payload, so a scan
-    step slices a WINDOW of _DPACK_ASM_K blocks with one big
+    ``backend``: 'xla' | 'pallas' | 'auto' (default, from
+    ASR_DPACK_BACKEND).  'auto' takes the Pallas decode kernel
+    (ops/pallas_dpack.py — payload planes DMA'd straight to VMEM,
+    expansion + carried cumsum in one launch) on TPU and the XLA path
+    elsewhere; 'pallas' off-TPU runs the kernel in interpreter mode
+    (tests).
+
+    XLA decode shape (r3): blocks are contiguous in the payload, so a
+    scan step slices a WINDOW of _DPACK_ASM_K blocks with one big
     dynamic_slice and carves the K blocks out of it (8x fewer scan steps
     than one block per step).  Thanks to the bit-plane payload layout,
     the bit unpacking itself needs NO per-block control flow: every
@@ -423,6 +438,15 @@ def dpack_unpack(
     """
     if scap % _DPACK_BLOCK:
         raise ValueError(f"scap must be a multiple of {_DPACK_BLOCK}")
+    from asr_study_tpu.utils.env import choice_env
+
+    if backend is None:
+        backend = choice_env("ASR_DPACK_BACKEND", "auto", _DPACK_BACKENDS)
+    elif backend not in _DPACK_BACKENDS:
+        raise ValueError(
+            f"dpack_unpack backend={backend!r}: choose one of "
+            f"{_DPACK_BACKENDS}"
+        )
     nbcap = scap // _DPACK_BLOCK
     hdr = 2 * batch
     lo = flat[0:hdr:2].astype(jnp.int32)
@@ -431,40 +455,56 @@ def dpack_unpack(
 
     widths = flat[hdr: hdr + nbcap].astype(jnp.int32)
     csum = jnp.cumsum(widths)
-    word_off = (hdr + nbcap + _DPACK_GPB * (csum - widths)).astype(
-        jnp.int32
-    )
 
-    # 1) assemble padded [nbcap, 16, 256] plane words, K blocks per step
-    k_asm = min(_DPACK_ASM_K, nbcap)
-    nb_pad = -(-nbcap // k_asm) * k_asm
-    off_p = jnp.pad(word_off, (0, nb_pad - nbcap)).reshape(-1, k_asm)
-    win = (k_asm + 1) * _DPACK_GPB * 16
-    src = jnp.pad(flat, (0, win)).astype(jnp.int32) & 0xFFFF
+    samples = None
+    if backend != "xla":
+        on_tpu = jax.default_backend() == "tpu"
+        if backend == "pallas" or on_tpu:
+            from asr_study_tpu.ops import pallas_dpack
 
-    def asm(carry, offs):
-        w0 = jax.lax.dynamic_slice_in_dim(src, offs[0], win)
-        rows = [
-            jax.lax.dynamic_slice_in_dim(
-                w0, offs[j] - offs[0], _DPACK_GPB * 16
+            samples = pallas_dpack.dpack_decode(
+                flat[hdr + nbcap:], (csum - widths).astype(jnp.int32),
+                widths, scap, interpret=not on_tpu,
             )
-            for j in range(k_asm)
-        ]
-        return carry, jnp.stack(rows)
+    if samples is None:
+        word_off = (hdr + nbcap + _DPACK_GPB * (csum - widths)).astype(
+            jnp.int32
+        )
 
-    _, blocks = jax.lax.scan(asm, 0, off_p)
-    planes = blocks.reshape(nb_pad, 16, _DPACK_GPB)[:nbcap]
+        # 1) assemble padded [nbcap, 16, 256] plane words, K blocks/step
+        k_asm = min(_DPACK_ASM_K, nbcap)
+        nb_pad = -(-nbcap // k_asm) * k_asm
+        off_p = jnp.pad(word_off, (0, nb_pad - nbcap)).reshape(-1, k_asm)
+        win = (k_asm + 1) * _DPACK_GPB * 16
+        src = jnp.pad(flat, (0, win)).astype(jnp.int32) & 0xFFFF
 
-    # 2) branch-free bit-plane expansion (one fused elementwise pass)
-    shifts = jnp.arange(_DPACK_GROUP, dtype=jnp.int32)
-    u = jnp.zeros((nbcap, _DPACK_GPB, _DPACK_GROUP), jnp.int32)
-    for p in range(16):
-        bit = (planes[:, p, :, None] >> shifts) & 1
-        u = u + jnp.where(widths[:, None, None] > p, bit << p, 0)
-    u = u.reshape(scap)
-    d = (u >> 1) ^ -(u & 1)                             # un-zigzag
-    c = jnp.cumsum(d)            # int32 wraps; exact mod 2^16 (see above)
-    samples = ((c + 32768) & 0xFFFF) - 32768
+        def asm(carry, offs):
+            w0 = jax.lax.dynamic_slice_in_dim(src, offs[0], win)
+            rows = [
+                jax.lax.dynamic_slice_in_dim(
+                    w0, offs[j] - offs[0], _DPACK_GPB * 16
+                )
+                for j in range(k_asm)
+            ]
+            return carry, jnp.stack(rows)
+
+        _, blocks = jax.lax.scan(asm, 0, off_p)
+        planes = blocks.reshape(nb_pad, 16, _DPACK_GPB)[:nbcap]
+
+        # 2) branch-free bit-plane expansion (one fused elementwise pass)
+        # v2 orientation: u[b, i, m] = block sample 256i+m, so the
+        # reshape below IS flat sample order (no transpose)
+        shifts = jnp.arange(_DPACK_GROUP, dtype=jnp.int32)
+        u = jnp.zeros((nbcap, _DPACK_GROUP, _DPACK_GPB), jnp.int32)
+        for p in range(16):
+            bit = (planes[:, p, None, :] >> shifts[None, :, None]) & 1
+            u = u + jnp.where(widths[:, None, None] > p, bit << p, 0)
+        u = u.reshape(scap)
+        d = (u >> 1) ^ -(u & 1)                         # un-zigzag
+        c = jnp.cumsum(d)        # int32 wraps; exact mod 2^16 (see above)
+        wrapped = ((c + 32768) & 0xFFFF) - 32768
+        samples = wrapped.astype(jnp.float32) * (1.0 / 32768.0)
+
     samples = jnp.pad(samples, (0, n_pad))
 
     offsets = (jnp.cumsum(lengths) - lengths).astype(jnp.int32)
@@ -473,8 +513,7 @@ def dpack_unpack(
     def row(carry, off_len):
         off, ln = off_len
         seg = jax.lax.dynamic_slice_in_dim(samples, off, n_pad)
-        wav = jnp.where(t < ln, seg.astype(jnp.float32) * (1.0 / 32768.0),
-                        0.0)
+        wav = jnp.where(t < ln, seg, 0.0)
         return carry, wav
 
     _, wavs = jax.lax.scan(row, 0, (offsets, lengths))

@@ -1,0 +1,172 @@
+"""Pallas TPU dpack wire decode: payload bit planes -> float32 samples.
+
+Why: the XLA dpack decode (data/wire.py) costs ~3.5 ms/batch on v5e —
+half of it an 89-step assembly scan whose only job is moving each
+block's variable-offset payload window into a dense [nbcap, 16, 256]
+tensor, the rest a 16-pass HBM-materialized plane expansion plus a
+log-step cumsum over the whole sample stream.  All three collapse into
+ONE kernel here: each block's plane rows are DMA'd straight from the
+payload's HBM residence into VMEM (the dynamic offset rides the DMA
+descriptor, not an XLA slice), the bit-plane expansion happens on
+VMEM-resident [16, 256] tiles, and the delta reconstruction is a
+lane-wise Hillis-Steele cumsum + 16 static row prefixes with the
+running carry held in SMEM across the (sequential) grid.  Nothing but
+the payload is read from HBM and nothing but the samples is written.
+
+Layout contract (v2, data/wire.py): block j owns plane rows
+[row_start[j], row_start[j] + widths[j]) of the payload viewed as
+[*, 256] int16 words; plane p, word m, bit i = bit p of block sample
+256*i + m.  The expanded [16, 256] tile is therefore the block's 4096
+samples in flat row-major order — no transpose anywhere.
+
+The payload ref stays in HBM (memory_space=ANY) and every per-block
+copy indexes only the LEADING dim of a [rows, 1, 256] view — the form
+Mosaic accepts at arbitrary dynamic offsets (sublane-dim dynamic slices
+must be 8-aligned, which payload offsets are not; see the repo's Mosaic
+notes).  Blocks whose width is 0 (all-zero deltas, or tail padding past
+nbcap) still copy 16 rows of neighbouring payload — harmless, the
+(p < width) mask zeroes every plane before expansion.
+
+Bit-exactness vs the pcm16 wire path is tested in tests/test_wire.py
+(interpret mode on CPU; the TPU build is exercised by bench.py and
+predict --on_device --wire_codec dpack).
+
+[ref: predict.py — the reference's serving path feeds raw host numpy;
+this kernel is the decode half of the TPU-native compressed transport.]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 4096     # samples per dpack block
+_GROUP = 16       # bits per word == plane count == sample rows per block
+_GPB = 256        # payload words per plane
+_G = 8            # blocks decoded per grid step (DMA/issue amortization)
+
+
+def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
+            g: int, interpret: bool):
+    j = pl.program_id(0)
+
+    # Start every block's plane-window copy up front; they overlap each
+    # other and the first blocks' compute.  Each copy is 16 plane rows
+    # from the block's dynamic payload offset (over-reading into the
+    # next block's rows when width < 16 — masked off below).
+    dmas = []
+    for b in range(g):
+        dma = pltpu.make_async_copy(
+            pay_ref.at[pl.ds(rs_ref[j * g + b], _GROUP)],
+            scr.at[b],
+            sems.at[b],
+        )
+        dma.start()
+        dmas.append(dma)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[0, 0] = 0
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 1)
+    acc = jnp.zeros((1, 1), jnp.int32) + carry_ref[0, 0]
+
+    for b in range(g):
+        dmas[b].wait()
+        w = w_ref[j * g + b]
+        # [16, 256] plane words; planes >= width are over-read garbage
+        planes = jnp.where(ii < w, scr[b, :, 0, :], 0)
+
+        # bit-plane expansion: u[i, m] = sum_p ((planes[p, m] >> i) & 1)
+        # << p — each plane row broadcasts over the 16 sample rows with
+        # a per-row shift; 16 uniform VPU passes, no control flow.
+        u = jnp.zeros((_GROUP, _GPB), jnp.int32)
+        for p in range(_GROUP):
+            u = u | (((planes[p: p + 1, :] >> ii) & 1) << p)
+        d = (u >> 1) ^ -(u & 1)                        # un-zigzag
+
+        # lane-wise inclusive cumsum (Hillis-Steele over the 256 lanes);
+        # int32 wraps are fine — deltas are mod-2^16 residuals and only
+        # the low 16 bits of the running sum are meaningful.
+        x = d
+        s = 1
+        while s < _GPB:
+            r = jnp.roll(x, s, axis=1) if interpret else pltpu.roll(
+                x, s, 1
+            )
+            x = x + jnp.where(col >= s, r, 0)
+            s *= 2
+
+        # row prefixes + cross-block carry: 16 static [1, 256] updates;
+        # row i's total is its cumsum's last lane.
+        for i in range(_GROUP):
+            row = x[i: i + 1, :] + acc
+            wrapped = ((row + 32768) & 0xFFFF) - 32768
+            out_ref[b * _GROUP + i: b * _GROUP + i + 1, :] = (
+                wrapped.astype(jnp.float32) * (1.0 / 32768.0)
+            )
+            acc = acc + x[i: i + 1, _GPB - 1: _GPB]
+
+    carry_ref[0, 0] = acc[0, 0]
+
+
+def dpack_decode(payload: jax.Array, row_start: jax.Array,
+                 widths: jax.Array, scap: int, *,
+                 interpret: bool = False) -> jax.Array:
+    """Decode a dpack payload region to float32 samples (k / 32768).
+
+    ``payload``: int16 [P], the wire words after the length header and
+    widths region (trailing words past the last block's payload are
+    never interpreted).  ``row_start``/``widths``: int32 [scap // 4096],
+    each block's first plane row (exclusive width cumsum) and bit width.
+    Returns float32 [scap] in flat sample order, bit-identical to the
+    pcm16 path's normalization.
+    """
+    if scap % _BLOCK:
+        raise ValueError(f"scap must be a multiple of {_BLOCK}")
+    nbcap = scap // _BLOCK
+    g = min(_G, nbcap)
+    nb_pad = -(-nbcap // g) * g
+
+    # plane-row view with 16 rows of over-read room: every block's
+    # 16-row copy stays in bounds even when its width is < 16 (the last
+    # real block's rows end at most 16 rows before the pad).  int32, not
+    # int16: the per-block copy slices a size-1 middle dim, and int16's
+    # (2, 1)-packed VMEM tiling rejects size-1 second-minor slices
+    # (Mosaic: "must be aligned to tiling (2)") — int32's packing is 1.
+    # The unsigned-word conversion rides the same XLA pass.
+    n_planes = -(-payload.shape[0] // _GPB)
+    r_pad = n_planes + _GROUP
+    pay = jnp.pad(payload, (0, r_pad * _GPB - payload.shape[0]))
+    pay = (pay.astype(jnp.int32) & 0xFFFF).reshape(r_pad, 1, _GPB)
+
+    rs = jnp.pad(row_start.astype(jnp.int32), (0, nb_pad - nbcap))
+    ws = jnp.pad(widths.astype(jnp.int32), (0, nb_pad - nbcap))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb_pad // g,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (g * _GROUP, _GPB), lambda j, *_: (j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, _GROUP, 1, _GPB), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((g,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, g=g, interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_pad * _GROUP, _GPB),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rs, ws, pay)
+    return out.reshape(-1)[:scap]

@@ -50,7 +50,10 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "asr_dpack_encode") and _build():
+        # the dpack symbol carries the payload-layout version: a stale
+        # library with only the v1 entry point would silently emit the
+        # old bit order, so rebuild whenever the current symbol is absent
+        if not hasattr(lib, "asr_dpack_encode_v2") and _build():
             # stale library predating newer entry points: rebuilt — reload
             try:
                 lib = ctypes.CDLL(_LIB_PATH)
@@ -81,9 +84,9 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
             ]
-        if hasattr(lib, "asr_dpack_encode"):
-            lib.asr_dpack_encode.restype = ctypes.c_long
-            lib.asr_dpack_encode.argtypes = [
+        if hasattr(lib, "asr_dpack_encode_v2"):
+            lib.asr_dpack_encode_v2.restype = ctypes.c_long
+            lib.asr_dpack_encode_v2.argtypes = [
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint16),
@@ -179,7 +182,7 @@ def dpack_encode(samples: np.ndarray) -> Optional[tuple]:
     per-4096-block delta + bit-packing).  Returns (widths uint8 [nb],
     payload int16 [out_words]) or None if native unavailable."""
     lib = load()
-    if lib is None or not hasattr(lib, "asr_dpack_encode"):
+    if lib is None or not hasattr(lib, "asr_dpack_encode_v2"):
         return None
     s = np.ascontiguousarray(samples, np.int16)
     n = s.shape[0]
@@ -188,7 +191,7 @@ def dpack_encode(samples: np.ndarray) -> Optional[tuple]:
     # a partial final block still emits 256*w (<= 4096) words, so the
     # worst case is nb*4096 words, NOT n
     payload = np.empty((max(nb * 4096, 1),), np.uint16)
-    out = lib.asr_dpack_encode(
+    out = lib.asr_dpack_encode_v2(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
         widths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

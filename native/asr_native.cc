@@ -166,16 +166,22 @@ static inline void transpose16x16(uint16_t x[16]) {
 
 // Encodes a concatenated int16 sample stream for the dpack wire codec
 // (data/wire.py): per 4096-sample block, int16-wraparound deltas are
-// zigzagged and stored as w BIT PLANES of 256 words each (plane p, word
-// m, bit i = bit p of sample 16m+i), w = the block max's bit-length.
+// zigzagged and stored as w BIT PLANES of 256 words each (v2 layout:
+// plane p, word m, bit i = bit p of sample 256*i + m), w = the block
+// max's bit-length.  The v2 orientation makes the decoded [16, 256]
+// block land in flat sample order row-major — the shape the TPU decode
+// kernel computes natively (ops/pallas_dpack.py) — where v1's 16m+i
+// order needed a transpose.  The symbol carries the layout version so a
+// stale libasrnative.so predating v2 triggers a rebuild instead of
+// silently emitting the old bit order (utils/native.py).
 // `widths` receives ceil(n/4096) entries; `payload` must hold
 // ceil(n/4096)*4096 uint16 words (worst case w=16, partial final block
 // included).  Returns the payload word count.  Byte-identical to the
 // NumPy reference encoder (tests/test_wire.py).  The plane transpose of
 // each 16-sample group is one 16x16 bit-matrix transpose (log-depth
 // swap network), not a per-bit loop.
-long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
-                      uint16_t* payload) {
+long asr_dpack_encode_v2(const int16_t* s, long n, uint8_t* widths,
+                         uint16_t* payload) {
   const long kBlock = 4096;
   const long kWords = kBlock / 16;   // 256 words per plane
   long nb = (n + kBlock - 1) / kBlock;
@@ -200,12 +206,13 @@ long asr_dpack_encode(const int16_t* s, long n, uint8_t* widths,
     if (w == 0) continue;
     uint16_t* dst = payload + out;
     for (long m = 0; m < kWords; ++m) {
-      // out word p bit i must be bit p of sample i.  The swap network
-      // above computes the MSB-oriented (anti-)transpose — out[k] bit j
-      // = in[15-j] bit [15-k] — so loading samples reversed and reading
-      // planes reversed yields the straight LSB transpose.
+      // out word p bit i must be bit p of group sample i (= block
+      // sample 256*i + m).  The swap network above computes the
+      // MSB-oriented (anti-)transpose — out[k] bit j = in[15-j] bit
+      // [15-k] — so loading samples reversed and reading planes
+      // reversed yields the straight LSB transpose.
       uint16_t g[16];
-      for (int i = 0; i < 16; ++i) g[i] = u[16 * m + 15 - i];
+      for (int i = 0; i < 16; ++i) g[i] = u[kWords * (15 - i) + m];
       transpose16x16(g);
       for (int p = 0; p < w; ++p) dst[(long)p * kWords + m] = g[15 - p];
     }

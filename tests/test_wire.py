@@ -224,6 +224,59 @@ class TestDpackCodec:
         assert list(np.asarray(lens)[3:]) == [0] * 5
         assert np.all(np.asarray(got)[3:] == 0.0)
 
+    def test_pallas_decode_matches_xla(self):
+        """The Pallas decode kernel (interpret mode on CPU) must be
+        bit-identical to the XLA decode path AND the pcm16 reference on
+        block-boundary/width edge cases."""
+        rng = np.random.RandomState(9)
+        wavs = [
+            (rng.randn(rng.randint(3000, 12000)) * 0.3).astype(np.float32)
+            for _ in range(3)
+        ]
+        # width extremes inside one batch: all-zero block (w=0), tiny
+        # deltas (w=1-2), full-scale alternation (w=16)
+        wavs += [np.zeros(4096, np.int16),
+                 np.ones(4097, np.int16),
+                 np.tile(np.array([32767, -32768], np.int16), 2100)]
+        b = len(wavs)
+        n_pad = -(-max(len(np.asarray(w)) for w in wavs) // 2048) * 2048
+        cap, scap = wire.dpack_measure([wavs], b)
+        flat = wire.pack_audio(wavs, cap, batch=b, codec="dpack",
+                               scap=scap)
+        unpack = jax.jit(wire.dpack_unpack, static_argnums=(1, 2, 3, 4))
+        got_x, lens_x = unpack(flat, b, n_pad, scap, "xla")
+        got_p, lens_p = unpack(flat, b, n_pad, scap, "pallas")
+        np.testing.assert_array_equal(np.asarray(lens_p),
+                                      np.asarray(lens_x))
+        np.testing.assert_array_equal(np.asarray(got_p),
+                                      np.asarray(got_x))
+        want, _ = wire.unpack_audio(
+            wire.pack_audio(wavs, wire.wire_cap(
+                b, sum(len(np.asarray(w)) for w in wavs)), batch=b),
+            b, n_pad,
+        )
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want))
+
+    def test_pallas_decode_single_and_ragged_block_counts(self):
+        """Grid padding: block counts that don't divide the kernel's
+        blocks-per-step (1, 3, 9) must decode exactly."""
+        rng = np.random.RandomState(11)
+        for n in (100, 3 * 4096 - 7, 9 * 4096 + 5):
+            wavs = [(rng.randn(n) * 0.2).astype(np.float32)]
+            n_pad = -(-n // 2048) * 2048
+            cap, scap = wire.dpack_measure([wavs], 1)
+            flat = wire.pack_audio(wavs, cap, batch=1, codec="dpack",
+                                   scap=scap)
+            got_p, _ = wire.dpack_unpack(flat, 1, n_pad, scap, "pallas")
+            got_x, _ = wire.dpack_unpack(flat, 1, n_pad, scap, "xla")
+            np.testing.assert_array_equal(np.asarray(got_p),
+                                          np.asarray(got_x))
+
+    def test_backend_knob_rejects_typos(self):
+        with pytest.raises(ValueError, match="backend"):
+            wire.dpack_unpack(np.zeros(8192, np.int16), 1, 64, 4096,
+                              backend="typo")
+
     def test_native_encoder_matches_numpy(self):
         """The C++ fast path must be BYTE-identical to the NumPy
         reference (skips if the native lib can't build)."""
