@@ -106,13 +106,43 @@ def main(argv=None) -> int:
     from asr_study_tpu.cli.data_flow import flow_from_arg, parser_from_run
 
     label_parser = parser_from_run(args.save, args.dataset)
-    model, state, _ = load_run(args.save, label_parser, best=args.best)
+    model, state, hp = load_run(args.save, label_parser, best=args.best)
 
-    gen = DatasetGenerator(batch_size=args.batch_size, shuffle=False)
+    gen_kw = {}
+    if hp.get("device_features"):
+        # raw-sample rows bucket at wire granularity, as in training
+        gen_kw = dict(time_multiple=2048, min_time=2048)
+    gen = DatasetGenerator(batch_size=args.batch_size, shuffle=False,
+                           **gen_kw)
     it = flow_from_arg(
         gen, args.dataset, args.split, label_parser,
         args.input_parser, args.input_params,
     )
+    featurizer = None
+    if hp.get("device_features"):
+        # the run was trained on raw waveforms with in-step featurization
+        # (train.py --device_features); rebuild the SAME feature chain
+        # from the run's recorded hparams — the dataset must be raw too
+        if it.num_feats != 1:
+            raise SystemExit(
+                f"run {args.save} was trained with on-device features "
+                f"({hp['device_features']}) and needs a raw-waveform "
+                f"dataset (make_dataset --input_parser raw); "
+                f"{args.dataset} stores {it.num_feats}-dim features"
+            )
+        from asr_study_tpu.features.select import probed_featurizer
+
+        feat_kw = (
+            json.loads(hp["device_feature_params"])
+            if hp.get("device_feature_params") else {}
+        )
+        n_probe = args.num_devices or 1
+        featurizer = probed_featurizer(
+            hp["device_features"],
+            (args.batch_size // max(n_probe, 1),
+             max(t for t, _ in it.padded_shapes())),
+            **feat_kw,
+        )
 
     # ONE jitted program per bucket shape: forward + loss + (collapse +)
     # decode all fuse into a single dispatch — on the remote-TPU backend the
@@ -155,6 +185,10 @@ def main(argv=None) -> int:
 
     def _eval_core(params, inputs, input_lengths, labels, label_lengths,
                    weights):
+        if featurizer is not None:
+            inputs, input_lengths = featurizer._transform(
+                inputs[..., 0], input_lengths
+            )
         logits = model.apply(params, inputs, input_lengths, train=False)
         per_seq = ctc_loss(
             logits, input_lengths, labels, label_lengths,

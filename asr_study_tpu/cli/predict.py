@@ -231,7 +231,19 @@ def main(argv=None) -> int:
     from asr_study_tpu.cli.data_flow import parser_from_run
 
     label_parser = parser_from_run(args.save)
-    model, state, _ = load_run(args.save, label_parser, best=args.best)
+    model, state, hp = load_run(args.save, label_parser, best=args.best)
+
+    # runs trained with in-step on-device features (train.py
+    # --device_features) record their feature chain in hparams; use it as
+    # the default so plain `predict.py --save run wav...` transcribes with
+    # the exact training features.  Explicit flags still win.
+    if hp.get("device_features"):
+        if args.input_parser == build_argparser().get_default(
+            "input_parser"
+        ):
+            args.input_parser = hp["device_features"]
+        if args.input_params is None:
+            args.input_params = hp.get("device_feature_params")
 
     feat_kw = json.loads(args.input_params) if args.input_params else {}
 

@@ -94,6 +94,18 @@ def build_argparser() -> argparse.ArgumentParser:
                         "= the dataset's stored vocabulary (HDF5) or the "
                         "pt_br preset. Must match an HDF5 dataset's "
                         "stored vocabulary")
+    p.add_argument("--device_features", nargs="?", const="mfcc",
+                   default=None,
+                   choices=["fbank", "logfbank", "mfcc"],
+                   help="train directly from a RAW-waveform dataset "
+                        "(make_dataset --input_parser raw): features of "
+                        "this kind are extracted on the accelerator "
+                        "INSIDE the jitted train step — no feature "
+                        "precompute, feature hyperparameters swappable "
+                        "per run (bare flag = mfcc)")
+    p.add_argument("--device_feature_params", default=None,
+                   help='feature kwargs as JSON for --device_features, '
+                        'e.g. \'{"nfilt": 80, "d": true}\'')
     p.add_argument("--spec_augment", nargs="?", const="", default=None,
                    help="SpecAugment feature masking during training; "
                         "optionally 'freq_masks=2,freq_width=8,"
@@ -161,7 +173,13 @@ def main(argv=None) -> int:
 
     from asr_study_tpu.cli.data_flow import flow_from_arg
 
-    gen = DatasetGenerator(batch_size=args.batch_size)
+    gen_kw = {}
+    if args.device_features:
+        # raw-sample rows: bucket at wire granularity (2048 samples
+        # = 128 ms) — the default 64-row multiple would mint a distinct
+        # XLA program shape every 4 ms of duration spread
+        gen_kw = dict(time_multiple=2048, min_time=2048)
+    gen = DatasetGenerator(batch_size=args.batch_size, **gen_kw)
     train_it = flow_from_arg(
         gen, args.dataset, "train", label_parser,
         args.input_parser, args.input_params,
@@ -201,13 +219,42 @@ def main(argv=None) -> int:
 
         augment = parse_spec_augment(args.spec_augment)
         print(f"training with {augment}", file=sys.stderr)
+    featurizer = None
+    if args.device_features:
+        import json as _json
+
+        if train_it.num_feats != 1:
+            raise SystemExit(
+                f"--device_features needs a raw-waveform dataset "
+                f"(make_dataset --input_parser raw); {args.dataset} "
+                f"stores {train_it.num_feats}-dim features"
+            )
+        from asr_study_tpu.features.select import probed_featurizer
+
+        feat_kw = (
+            _json.loads(args.device_feature_params)
+            if args.device_feature_params else {}
+        )
+        # probe at the LARGEST real padded batch shape (Mosaic can
+        # accept one shape and reject another); per-shard batch under DP
+        max_n = max(t for t, _ in train_it.padded_shapes())
+        featurizer = probed_featurizer(
+            args.device_features, (args.batch_size // n_dev, max_n),
+            **feat_kw,
+        )
+        print(
+            f"on-device features: {args.device_features} "
+            f"({type(featurizer).__name__}, {featurizer.num_feats} dims)",
+            file=sys.stderr,
+        )
     trainer = Trainer(
         model, tx, mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        augment=augment,
+        augment=augment, featurizer=featurizer,
     )
     state = trainer.init_state(
-        jax.random.PRNGKey(args.seed), train_it.num_feats
+        jax.random.PRNGKey(args.seed),
+        featurizer.num_feats if featurizer else train_it.num_feats,
     )
     print(model.summary(state.params), file=sys.stderr)
     if args.init_from:
@@ -242,7 +289,11 @@ def main(argv=None) -> int:
         "early_stop": args.early_stop, "accum_steps": args.accum_steps,
         "lr_plateau": args.lr_plateau,
         "spec_augment": args.spec_augment,
-        "num_feats": train_it.num_feats,
+        "device_features": args.device_features,
+        "device_feature_params": args.device_feature_params,
+        "num_feats": (
+            featurizer.num_feats if featurizer else train_it.num_feats
+        ),
         "num_classes": label_parser.num_classes,
         "vocab": label_parser.vocab,
     }

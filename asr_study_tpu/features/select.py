@@ -32,3 +32,39 @@ def featurizer_candidates(kind: str, use_pallas: bool = True,
     from asr_study_tpu.features.device import DeviceFeaturizer
 
     yield DeviceFeaturizer(kind=kind, **kw)
+
+
+def probed_featurizer(kind: str, probe_shape, use_pallas: bool = True,
+                      **kw):
+    """First candidate whose jitted ``_transform`` compiles AND runs at
+    ``probe_shape`` = (batch, n_samples) — the caller's real padded batch
+    shape, since Mosaic can accept one shape and reject another.  The
+    LAST candidate is returned unprobed (there is nothing to fall back
+    to, and skipping its standalone probe compile saves the cost on the
+    common CPU/XLA path).  Used by train/eval's on-device-features mode;
+    the predict CLI probes inside its own fused serving program instead.
+    """
+    import jax
+    import numpy as np
+
+    cands = list(featurizer_candidates(kind, use_pallas=use_pallas, **kw))
+    for n_left, cand in enumerate(cands, 1):
+        if n_left == len(cands):
+            return cand
+        try:
+            b, n = probe_shape
+            wavs = np.zeros((b, n), np.float32)
+            lens = np.full((b,), n, np.int32)
+            _feats, fl = jax.jit(cand._transform)(wavs, lens)
+            np.asarray(fl)   # force compile + execute
+            return cand
+        except Exception as e:
+            import sys
+
+            print(
+                f"{type(cand).__name__} unavailable "
+                f"({type(e).__name__}); falling back to the XLA "
+                "feature path",
+                file=sys.stderr,
+            )
+    raise AssertionError("unreachable: candidates is never empty")

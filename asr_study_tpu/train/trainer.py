@@ -152,6 +152,7 @@ class Trainer:
         donate_state: bool = True,
         compute_dtype: Optional[Any] = None,
         augment: Optional[Any] = None,
+        featurizer: Optional[Any] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the network forward/backward
         in bf16 (MXU-native) with f32 master weights, f32 CTC loss, and f32
@@ -160,9 +161,21 @@ class Trainer:
         ``augment`` is an optional jittable ``(rng, inputs, input_lengths)
         -> inputs`` callable (e.g. ``features.augment.SpecAugment``) applied
         to the feature batch inside the train step only — on device, under
-        jit/shard_map, never at eval."""
+        jit/shard_map, never at eval.
+
+        ``featurizer`` (a DeviceFeaturizer/PallasFeaturizer) switches the
+        step inputs from features to RAW padded waveforms [B, N(, 1)] with
+        sample-count ``input_lengths``: the whole wav->features->model->
+        loss->backward step is then ONE XLA program — train directly from
+        a ``make_dataset --input_parser raw`` dataset, no feature
+        precompute, feature hyperparameters swappable per run.  The
+        reference cannot do this: its host DSP is the expensive stage,
+        while here features are MXU work that costs ~1 ms/batch inside
+        the step [ref: preprocessing/audio.py precompute flow].
+        SpecAugment composes (it applies to the featurized batch)."""
         self.model = model
         self.augment = augment
+        self.featurizer = featurizer
         # normalize to the extra-args protocol: plain transforms ignore the
         # ``value=loss`` the train step always passes (reduce_on_plateau
         # consumes it)
@@ -248,6 +261,7 @@ class Trainer:
         if self.mesh is not None:
             # decorrelate per-device dropout masks
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        inputs, input_lengths = self._featurize(inputs, input_lengths)
         if self.augment is not None:
             # distinct stream from the dropout rng so masks decorrelate;
             # the no-augment rng schedule is untouched (trajectory parity)
@@ -293,10 +307,21 @@ class Trainer:
         new_state = TrainState(params, opt_state, state.step + 1)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
+    def _featurize(self, inputs, input_lengths):
+        """Raw padded wavs -> features when a featurizer is attached
+        (identity otherwise).  Runs per-shard under shard_map; the
+        featurizer's operator tables ride as replicated closure
+        constants."""
+        if self.featurizer is None:
+            return inputs, input_lengths
+        wavs = inputs[..., 0] if inputs.ndim == 3 else inputs
+        return self.featurizer._transform(wavs, input_lengths)
+
     def _eval_step(
         self, state: TrainState, inputs, input_lengths, labels,
         label_lengths, weights,
     ) -> Dict[str, jax.Array]:
+        inputs, input_lengths = self._featurize(inputs, input_lengths)
         logits = self.model.apply(
             state.params, inputs, input_lengths, train=False,
             tp=self._tp(),
