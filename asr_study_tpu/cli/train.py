@@ -106,6 +106,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--device_feature_params", default=None,
                    help='feature kwargs as JSON for --device_features, '
                         'e.g. \'{"nfilt": 80, "d": true}\'')
+    p.add_argument("--wav_augment", nargs="?", const="", default=None,
+                   help="raw-waveform augmentation during training "
+                        "(needs --device_features): per-utterance random "
+                        "gain + additive white noise, on device inside "
+                        "the train step; optionally 'gain_db=3,"
+                        "noise_snr_min=20,noise_snr_max=50' (bare flag = "
+                        "those defaults)")
     p.add_argument("--spec_augment", nargs="?", const="", default=None,
                    help="SpecAugment feature masking during training; "
                         "optionally 'freq_masks=2,freq_width=8,"
@@ -247,10 +254,21 @@ def main(argv=None) -> int:
             f"({type(featurizer).__name__}, {featurizer.num_feats} dims)",
             file=sys.stderr,
         )
+    wav_augment = None
+    if args.wav_augment is not None:
+        if featurizer is None:
+            raise SystemExit(
+                "--wav_augment operates on raw waveforms and needs "
+                "--device_features"
+            )
+        from asr_study_tpu.features.augment import parse_wav_augment
+
+        wav_augment = parse_wav_augment(args.wav_augment)
+        print(f"training with {wav_augment}", file=sys.stderr)
     trainer = Trainer(
         model, tx, mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        augment=augment, featurizer=featurizer,
+        augment=augment, featurizer=featurizer, wav_augment=wav_augment,
     )
     state = trainer.init_state(
         jax.random.PRNGKey(args.seed),
@@ -289,6 +307,7 @@ def main(argv=None) -> int:
         "early_stop": args.early_stop, "accum_steps": args.accum_steps,
         "lr_plateau": args.lr_plateau,
         "spec_augment": args.spec_augment,
+        "wav_augment": args.wav_augment,
         "device_features": args.device_features,
         "device_feature_params": args.device_feature_params,
         "num_feats": (

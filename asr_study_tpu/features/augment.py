@@ -85,6 +85,106 @@ class SpecAugment:
         return jnp.where(keep, inputs, jnp.zeros((), inputs.dtype))
 
 
+class WavAugment:
+    """Raw-waveform training augmentation: ``(rng, wavs [B,N],
+    wav_lengths [B]) -> wavs``.
+
+    The wav-domain companion to SpecAugment for the raw-wav training
+    mode (``train.py --device_features``): it runs INSIDE the jitted
+    train step, BEFORE the in-step featurizer — zero host work, static
+    shapes, composes with DP/TP and SpecAugment.  Per utterance:
+
+    - ``gain_db``: random gain, U[-gain_db, +gain_db] dB (0 = off).
+    - ``noise_snr_min/max``: additive white Gaussian noise at an SNR
+      drawn U[min, max] dB against the utterance's own RMS over its
+      REAL samples; padding samples stay exactly zero (the featurizer's
+      frame-length masking assumes it).  Off unless max > 0.
+    """
+
+    def __init__(self, gain_db: float = 0.0,
+                 noise_snr_min: float = 0.0,
+                 noise_snr_max: float = 0.0):
+        if gain_db < 0:
+            raise ValueError(f"gain_db must be >= 0, got {gain_db}")
+        if noise_snr_max and noise_snr_min > noise_snr_max:
+            raise ValueError(
+                f"noise_snr_min {noise_snr_min} > noise_snr_max "
+                f"{noise_snr_max}"
+            )
+        self.gain_db = float(gain_db)
+        self.noise_snr_min = float(noise_snr_min)
+        self.noise_snr_max = float(noise_snr_max)
+
+    def __repr__(self) -> str:
+        return (
+            f"WavAugment(gain_db={self.gain_db}, "
+            f"noise_snr_min={self.noise_snr_min}, "
+            f"noise_snr_max={self.noise_snr_max})"
+        )
+
+    def __call__(self, rng, wavs, wav_lengths):
+        b, n = wavs.shape
+        mask = (
+            jnp.arange(n)[None, :] < wav_lengths[:, None].astype(jnp.int32)
+        )
+        k_g, k_s, k_n = jax.random.split(rng, 3)
+
+        if self.gain_db > 0:
+            db = jax.random.uniform(
+                k_g, (b, 1), minval=-self.gain_db, maxval=self.gain_db
+            )
+            wavs = wavs * 10.0 ** (db / 20.0)
+
+        if self.noise_snr_max > 0:
+            snr = jax.random.uniform(
+                k_s, (b, 1), minval=self.noise_snr_min,
+                maxval=self.noise_snr_max,
+            )
+            # RMS over each utterance's real samples (post-gain, so the
+            # SNR is against the signal actually fed to the featurizer)
+            denom = jnp.maximum(
+                jnp.sum(mask, axis=1, keepdims=True).astype(jnp.float32),
+                1.0,
+            )
+            rms = jnp.sqrt(
+                jnp.sum(jnp.where(mask, wavs, 0.0) ** 2, axis=1,
+                        keepdims=True) / denom
+            )
+            sigma = rms * 10.0 ** (-snr / 20.0)
+            noise = jax.random.normal(k_n, (b, n)) * sigma
+            wavs = wavs + jnp.where(mask, noise, 0.0)
+
+        # padding must stay exactly zero whatever the ops above did
+        return jnp.where(mask, wavs, 0.0)
+
+
+def _parse_kv(spec: str, flag: str, keys: dict):
+    """Shared ``"k=v,..."`` parser (empty string -> all defaults)."""
+    kw = {}
+    for part in filter(None, (spec or "").split(",")):
+        if "=" not in part:
+            raise ValueError(f"{flag} expects 'k=v,...', got {part!r}")
+        k, v = part.split("=", 1)
+        k = k.strip()
+        if k not in keys:
+            raise ValueError(
+                f"unknown {flag} key {k!r}; have {', '.join(keys)}"
+            )
+        kw[k] = keys[k](v)
+    return kw
+
+
+def parse_wav_augment(spec: str) -> WavAugment:
+    """Build from the CLI's ``"k=v,..."`` string (empty string -> a mild
+    default: gain_db=3, noise at SNR U[20, 50] dB)."""
+    kw = _parse_kv(spec, "--wav_augment", {
+        "gain_db": float, "noise_snr_min": float, "noise_snr_max": float,
+    })
+    if not kw:
+        kw = dict(gain_db=3.0, noise_snr_min=20.0, noise_snr_max=50.0)
+    return WavAugment(**kw)
+
+
 def parse_spec_augment(spec: str) -> SpecAugment:
     """Build from the CLI's ``"k=v,..."`` string (empty string -> defaults).
 

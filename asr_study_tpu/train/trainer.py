@@ -153,6 +153,7 @@ class Trainer:
         compute_dtype: Optional[Any] = None,
         augment: Optional[Any] = None,
         featurizer: Optional[Any] = None,
+        wav_augment: Optional[Any] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the network forward/backward
         in bf16 (MXU-native) with f32 master weights, f32 CTC loss, and f32
@@ -172,10 +173,21 @@ class Trainer:
         reference cannot do this: its host DSP is the expensive stage,
         while here features are MXU work that costs ~1 ms/batch inside
         the step [ref: preprocessing/audio.py precompute flow].
-        SpecAugment composes (it applies to the featurized batch)."""
+        SpecAugment composes (it applies to the featurized batch).
+
+        ``wav_augment`` is the raw-domain analog (e.g.
+        ``features.augment.WavAugment``: gain + additive noise), applied
+        to the waveform batch before the in-step featurizer, train only —
+        it therefore requires ``featurizer``."""
+        if wav_augment is not None and featurizer is None:
+            raise ValueError(
+                "wav_augment operates on raw waveforms and needs "
+                "featurizer= (the inputs are features otherwise)"
+            )
         self.model = model
         self.augment = augment
         self.featurizer = featurizer
+        self.wav_augment = wav_augment
         # normalize to the extra-args protocol: plain transforms ignore the
         # ``value=loss`` the train step always passes (reduce_on_plateau
         # consumes it)
@@ -261,6 +273,14 @@ class Trainer:
         if self.mesh is not None:
             # decorrelate per-device dropout masks
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        if self.wav_augment is not None:
+            # distinct stream from dropout/SpecAugment; drawn only when
+            # enabled, so the no-augment rng schedule is untouched
+            w = inputs[..., 0] if inputs.ndim == 3 else inputs
+            w = self.wav_augment(
+                jax.random.fold_in(rng, 0x3A), w, input_lengths
+            )
+            inputs = w[..., None] if inputs.ndim == 3 else w
         inputs, input_lengths = self._featurize(inputs, input_lengths)
         if self.augment is not None:
             # distinct stream from the dropout rng so masks decorrelate;

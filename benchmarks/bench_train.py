@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--model", default="deep_blstm")
+    ap.add_argument("--device_features", default=None,
+                    choices=["fbank", "logfbank", "mfcc"],
+                    help="feed RAW waveforms and featurize INSIDE the "
+                         "train step (train.py --device_features) — "
+                         "measures the in-step featurizer cost; --time "
+                         "still sets the model's frame count (wav length "
+                         "is derived)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — lets the "
                          "benchmark run without the exclusive TPU chip")
@@ -52,15 +59,34 @@ def main() -> int:
          "dropout": 0.0},
         num_classes=27,
     )
+    featurizer = None
+    n_feats = 39
+    rng = np.random.RandomState(0)
+    if args.device_features:
+        from asr_study_tpu.features.select import probed_featurizer
+
+        # wav length that yields exactly --time frames (no-center framing:
+        # T = 1 + (N - frame_len) // step), rounded up to wire granularity
+        n_samples = -(-((args.time - 1) * 160 + 400) // 2048) * 2048
+        featurizer = probed_featurizer(
+            args.device_features, (args.batch, n_samples)
+        )
+        n_feats = featurizer.num_feats
+        inputs = jnp.asarray(
+            rng.randn(args.batch, n_samples) * 0.1, jnp.float32
+        )
+        input_lengths = jnp.full((args.batch,), n_samples, jnp.int32)
+    else:
+        inputs = jnp.asarray(
+            rng.randn(args.batch, args.time, 39), jnp.float32
+        )
+        input_lengths = jnp.full((args.batch,), args.time, jnp.int32)
     trainer = Trainer(
         model, make_optimizer("adam", 1e-4, 400.0),
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        featurizer=featurizer,
     )
-    state = trainer.init_state(jax.random.PRNGKey(0), 39)
-
-    rng = np.random.RandomState(0)
-    inputs = jnp.asarray(rng.randn(args.batch, args.time, 39), jnp.float32)
-    input_lengths = jnp.full((args.batch,), args.time, jnp.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), n_feats)
     labels = jnp.asarray(
         rng.randint(0, 27, (args.batch, args.labels)), jnp.int32
     )
@@ -86,15 +112,20 @@ def main() -> int:
     float(m["loss"])
     wall = time.perf_counter() - t0
     steps_per_s = args.steps / wall
-    audio_s = args.batch * args.time * HOP_S
+    audio_s = (
+        args.batch * (inputs.shape[1] / SR) if featurizer is not None
+        else args.batch * args.time * HOP_S
+    )
 
     # FLOPs model (matmul terms only; elementwise/CTC are <2% here).
     # Per bidirectional layer per direction: input proj T*B*Fin*4H*2 +
     # recurrence T*B*H*4H*2; training ~= 3x forward (grad wrt activations
     # and wrt weights each cost roughly one forward of matmul FLOPs).
     b, t, h, nl = args.batch, args.time, args.hidden, args.layers
+    if featurizer is not None:
+        t = 1 + (inputs.shape[1] - 400) // 160   # actual model frames
     gates = 3 if "gru" in args.model else 4
-    fin = [39] + [2 * h] * (nl - 1)
+    fin = [n_feats] + [2 * h] * (nl - 1)
     fwd_flops = sum(
         2 * (t * b * f * gates * h + t * b * h * gates * h) * 2
         for f in fin
@@ -115,6 +146,7 @@ def main() -> int:
         "mfu_pct": round(mfu, 2),
         "batch": args.batch, "time": args.time,
         "model": f"{args.model}-{args.layers}x{args.hidden}",
+        "device_features": args.device_features,
     }))
     return 0
 

@@ -168,3 +168,151 @@ def test_train_cli_wires_spec_augment(tmp_path, capsys):
     assert "training with SpecAugment(freq_masks=1" in err
     meta = json.load(open(tmp_path / "run" / "meta.json"))
     assert meta["hparams"]["spec_augment"] == "freq_masks=1,freq_width=2"
+
+
+class TestWavAugment:
+    """Raw-domain augmentation for the --device_features training mode."""
+
+    def _wavs(self, b=3, n=2048):
+        wavs = jax.random.normal(jax.random.PRNGKey(0), (b, n)) * 0.1
+        # every row keeps >= 3 feature frames (the CTC tests use 3-char
+        # labels; a shorter row would make the batch loss an inf sentinel)
+        lens = jnp.asarray(([n, n - 700, n - 1024] * b)[:b], jnp.int32)
+        t = jnp.arange(n)
+        return jnp.where(t[None, :] < lens[:, None], wavs, 0.0), lens
+
+    def test_padding_stays_exactly_zero(self):
+        from asr_study_tpu.features.augment import WavAugment
+
+        wavs, lens = self._wavs()
+        aug = WavAugment(gain_db=6.0, noise_snr_min=5.0,
+                         noise_snr_max=10.0)
+        out = np.asarray(aug(jax.random.PRNGKey(1), wavs, lens))
+        t = np.arange(wavs.shape[1])
+        pad = t[None, :] >= np.asarray(lens)[:, None]
+        assert np.all(out[pad] == 0.0)
+        # and the real samples actually changed (noise at <=10 dB SNR)
+        real = ~pad
+        assert np.any(out[real] != np.asarray(wavs)[real])
+
+    def test_gain_only_is_per_row_constant_scale(self):
+        from asr_study_tpu.features.augment import WavAugment
+
+        wavs, lens = self._wavs()
+        aug = WavAugment(gain_db=6.0)
+        out = np.asarray(aug(jax.random.PRNGKey(2), wavs, lens))
+        w = np.asarray(wavs)
+        for i in range(w.shape[0]):
+            nz = np.abs(w[i]) > 1e-6
+            ratios = out[i][nz] / w[i][nz]
+            np.testing.assert_allclose(ratios, ratios[0], rtol=1e-5)
+            assert 10 ** (-6 / 20) - 1e-3 <= ratios[0] <= 10 ** (6 / 20) + 1e-3
+
+    def test_deterministic_under_key(self):
+        from asr_study_tpu.features.augment import WavAugment
+
+        wavs, lens = self._wavs()
+        aug = WavAugment(gain_db=3.0, noise_snr_min=20.0,
+                         noise_snr_max=30.0)
+        a = np.asarray(aug(jax.random.PRNGKey(3), wavs, lens))
+        b = np.asarray(aug(jax.random.PRNGKey(3), wavs, lens))
+        np.testing.assert_array_equal(a, b)
+
+    def test_parse_and_validation(self):
+        import pytest
+
+        from asr_study_tpu.features.augment import (
+            WavAugment, parse_wav_augment,
+        )
+
+        aug = parse_wav_augment("gain_db=2,noise_snr_min=10,"
+                                "noise_snr_max=20")
+        assert (aug.gain_db, aug.noise_snr_min, aug.noise_snr_max) == \
+            (2.0, 10.0, 20.0)
+        assert parse_wav_augment("").gain_db == 3.0    # defaults
+        with pytest.raises(ValueError):
+            parse_wav_augment("nope=1")
+        with pytest.raises(ValueError):
+            WavAugment(noise_snr_min=30.0, noise_snr_max=10.0)
+
+    def test_trainer_requires_featurizer(self):
+        import pytest
+
+        from asr_study_tpu.features.augment import WavAugment
+
+        model = build_model("graves2006", {"num_hiddens": 8},
+                            num_classes=4)
+        with pytest.raises(ValueError, match="featurizer"):
+            Trainer(model, make_optimizer("adam", 5e-3, 10.0),
+                    wav_augment=WavAugment(gain_db=3.0))
+
+    def test_train_step_and_rng_trajectory_parity(self):
+        """wav_augment draws from its own forked stream, so a run WITHOUT
+        it must be bit-identical to the pre-change schedule (here: the
+        featurizer-only trainer); with it, the loss must change."""
+        from asr_study_tpu.features.augment import WavAugment
+        from asr_study_tpu.features.device import DeviceFeaturizer
+
+        feat = DeviceFeaturizer(kind="mfcc", d=False, dd=False)
+        wavs, lens = self._wavs(b=4, n=4096)
+        labels = jax.random.randint(jax.random.PRNGKey(5), (4, 3), 0, 4)
+        llens = jnp.full((4,), 3, jnp.int32)
+        weights = jnp.ones((4,), jnp.float32)
+        args = (wavs[..., None], lens, labels, llens, weights,
+                jax.random.PRNGKey(6))
+
+        def run(wav_augment):
+            model = build_model("graves2006", {"num_hiddens": 8},
+                                num_classes=4)
+            tr = Trainer(model, make_optimizer("adam", 5e-3, 10.0),
+                         donate_state=False, featurizer=feat,
+                         wav_augment=wav_augment)
+            state = tr.init_state(jax.random.PRNGKey(0),
+                                  input_dim=feat.num_feats)
+            out = []
+            for _ in range(2):
+                state, m = tr.train_step(state, *args)
+                out.append(float(m["loss"]))
+            return out
+
+        base = run(None)
+        assert base == run(None)                        # deterministic
+        augd = run(WavAugment(gain_db=6.0, noise_snr_min=5.0,
+                              noise_snr_max=10.0))
+        assert base != augd
+
+
+def test_train_cli_wires_wav_augment(tmp_path, capsys):
+    """--wav_augment needs --device_features and must reach the Trainer."""
+    import pytest
+
+    from asr_study_tpu.cli.make_dataset import main as make_main
+    from asr_study_tpu.cli.train import main as train_main
+
+    h5 = str(tmp_path / "raw.h5")
+    rc = make_main([
+        "--parser", "dummy", "--dataset_dir", str(tmp_path / "corpus"),
+        "--output", h5, "--input_parser", "raw",
+    ])
+    assert rc == 0
+    rc = train_main([
+        "--platform", "cpu", "--dataset", h5,
+        "--model", "graves2006", "--params", "num_hiddens=8",
+        "--epochs", "1", "--batch_size", "4", "--num_devices", "1",
+        "--device_features", "mfcc",
+        "--device_feature_params", '{"d": false, "dd": false}',
+        "--wav_augment", "gain_db=2",
+        "--save", str(tmp_path / "run"), "--log_every", "1",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "training with WavAugment(gain_db=2" in err
+    meta = json.load(open(tmp_path / "run" / "meta.json"))
+    assert meta["hparams"]["wav_augment"] == "gain_db=2"
+    # without --device_features it must refuse
+    with pytest.raises(SystemExit, match="device_features"):
+        train_main([
+            "--platform", "cpu", "--dataset", h5,
+            "--epochs", "1", "--batch_size", "4", "--num_devices", "1",
+            "--wav_augment", "", "--save", str(tmp_path / "run2"),
+        ])
