@@ -73,6 +73,34 @@ def parser_from_run(save_dir: str, dataset: Optional[str] = None
     return CharParser(vocab) if vocab else CharParser()
 
 
+# raw-sample rows bucket at wire granularity (2048 samples = 128 ms) —
+# the default 64-row multiple would mint a distinct XLA program shape
+# every 4 ms of duration spread
+RAW_GEN_KW = dict(time_multiple=2048, min_time=2048)
+
+
+def device_featurizer_for(kind: str, params_json: Optional[str],
+                          batch_per_shard: int, it, dataset: str,
+                          context: str):
+    """Reconstruct the on-device feature chain for a raw-waveform
+    iterator — ONE policy for train (``--device_features``) and eval
+    (the run's recorded hparams), so the two can't drift: same raw-
+    dataset guard, same JSON param parse, same probe-at-the-largest-
+    real-padded-shape featurizer selection (Mosaic can accept one shape
+    and reject another)."""
+    if it.num_feats != 1:
+        raise SystemExit(
+            f"{context} needs a raw-waveform dataset "
+            f"(make_dataset --input_parser raw); {dataset} stores "
+            f"{it.num_feats}-dim features"
+        )
+    from asr_study_tpu.features.select import probed_featurizer
+
+    kw = json.loads(params_json) if params_json else {}
+    max_n = max(t for t, _ in it.padded_shapes())
+    return probed_featurizer(kind, (batch_per_shard, max_n), **kw)
+
+
 def flow_from_arg(
     gen: DatasetGenerator,
     dataset: str,

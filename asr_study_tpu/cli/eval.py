@@ -108,10 +108,9 @@ def main(argv=None) -> int:
     label_parser = parser_from_run(args.save, args.dataset)
     model, state, hp = load_run(args.save, label_parser, best=args.best)
 
-    gen_kw = {}
-    if hp.get("device_features"):
-        # raw-sample rows bucket at wire granularity, as in training
-        gen_kw = dict(time_multiple=2048, min_time=2048)
+    from asr_study_tpu.cli.data_flow import RAW_GEN_KW, device_featurizer_for
+
+    gen_kw = RAW_GEN_KW if hp.get("device_features") else {}
     gen = DatasetGenerator(batch_size=args.batch_size, shuffle=False,
                            **gen_kw)
     it = flow_from_arg(
@@ -123,25 +122,11 @@ def main(argv=None) -> int:
         # the run was trained on raw waveforms with in-step featurization
         # (train.py --device_features); rebuild the SAME feature chain
         # from the run's recorded hparams — the dataset must be raw too
-        if it.num_feats != 1:
-            raise SystemExit(
-                f"run {args.save} was trained with on-device features "
-                f"({hp['device_features']}) and needs a raw-waveform "
-                f"dataset (make_dataset --input_parser raw); "
-                f"{args.dataset} stores {it.num_feats}-dim features"
-            )
-        from asr_study_tpu.features.select import probed_featurizer
-
-        feat_kw = (
-            json.loads(hp["device_feature_params"])
-            if hp.get("device_feature_params") else {}
-        )
-        n_probe = args.num_devices or 1
-        featurizer = probed_featurizer(
-            hp["device_features"],
-            (args.batch_size // max(n_probe, 1),
-             max(t for t, _ in it.padded_shapes())),
-            **feat_kw,
+        featurizer = device_featurizer_for(
+            hp["device_features"], hp.get("device_feature_params"),
+            args.batch_size // max(args.num_devices or 1, 1), it,
+            args.dataset,
+            f"run {args.save} (trained with on-device features)",
         )
 
     # ONE jitted program per bucket shape: forward + loss + (collapse +)

@@ -31,8 +31,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Transcribe wav files")
     p.add_argument("wavs", nargs="+", help="wav file paths")
     p.add_argument("--save", required=True, help="training run directory")
-    p.add_argument("--input_parser", default="mfcc",
-                   help="feature extractor name (raw|fbank|logfbank|mfcc)")
+    p.add_argument("--input_parser", default=None,
+                   help="feature extractor name (fbank|logfbank|mfcc); "
+                        "default = the run's recorded --device_features "
+                        "chain when present, else mfcc")
     p.add_argument("--input_params", default=None,
                    help='feature kwargs as JSON, e.g. \'{"d": true}\'')
     p.add_argument("--beam_width", type=int, default=0)
@@ -236,13 +238,12 @@ def main(argv=None) -> int:
     # runs trained with in-step on-device features (train.py
     # --device_features) record their feature chain in hparams; use it as
     # the default so plain `predict.py --save run wav...` transcribes with
-    # the exact training features.  Explicit flags still win.
-    if hp.get("device_features"):
-        if args.input_parser == build_argparser().get_default(
-            "input_parser"
-        ):
-            args.input_parser = hp["device_features"]
-        if args.input_params is None:
+    # the exact training features.  An explicit --input_parser wins, and
+    # then the recorded params do NOT apply (they belong to the recorded
+    # parser — one parser's kwargs would crash another's constructor).
+    if args.input_parser is None:
+        args.input_parser = hp.get("device_features") or "mfcc"
+        if args.input_params is None and hp.get("device_features"):
             args.input_params = hp.get("device_feature_params")
 
     feat_kw = json.loads(args.input_params) if args.input_params else {}

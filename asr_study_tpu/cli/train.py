@@ -180,12 +180,9 @@ def main(argv=None) -> int:
 
     from asr_study_tpu.cli.data_flow import flow_from_arg
 
-    gen_kw = {}
-    if args.device_features:
-        # raw-sample rows: bucket at wire granularity (2048 samples
-        # = 128 ms) — the default 64-row multiple would mint a distinct
-        # XLA program shape every 4 ms of duration spread
-        gen_kw = dict(time_multiple=2048, min_time=2048)
+    from asr_study_tpu.cli.data_flow import RAW_GEN_KW
+
+    gen_kw = RAW_GEN_KW if args.device_features else {}
     gen = DatasetGenerator(batch_size=args.batch_size, **gen_kw)
     train_it = flow_from_arg(
         gen, args.dataset, "train", label_parser,
@@ -228,26 +225,12 @@ def main(argv=None) -> int:
         print(f"training with {augment}", file=sys.stderr)
     featurizer = None
     if args.device_features:
-        import json as _json
+        from asr_study_tpu.cli.data_flow import device_featurizer_for
 
-        if train_it.num_feats != 1:
-            raise SystemExit(
-                f"--device_features needs a raw-waveform dataset "
-                f"(make_dataset --input_parser raw); {args.dataset} "
-                f"stores {train_it.num_feats}-dim features"
-            )
-        from asr_study_tpu.features.select import probed_featurizer
-
-        feat_kw = (
-            _json.loads(args.device_feature_params)
-            if args.device_feature_params else {}
-        )
-        # probe at the LARGEST real padded batch shape (Mosaic can
-        # accept one shape and reject another); per-shard batch under DP
-        max_n = max(t for t, _ in train_it.padded_shapes())
-        featurizer = probed_featurizer(
-            args.device_features, (args.batch_size // n_dev, max_n),
-            **feat_kw,
+        featurizer = device_featurizer_for(
+            args.device_features, args.device_feature_params,
+            args.batch_size // n_dev, train_it, args.dataset,
+            "--device_features",
         )
         print(
             f"on-device features: {args.device_features} "

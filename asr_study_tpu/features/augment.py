@@ -106,7 +106,14 @@ class WavAugment:
                  noise_snr_max: float = 0.0):
         if gain_db < 0:
             raise ValueError(f"gain_db must be >= 0, got {gain_db}")
-        if noise_snr_max and noise_snr_min > noise_snr_max:
+        if noise_snr_min and not noise_snr_max:
+            # noise is gated on noise_snr_max, so min alone would be a
+            # SILENT no-op for the whole training run
+            raise ValueError(
+                f"noise_snr_min={noise_snr_min} without noise_snr_max "
+                "would disable noise entirely; set noise_snr_max too"
+            )
+        if noise_snr_min > noise_snr_max:
             raise ValueError(
                 f"noise_snr_min {noise_snr_min} > noise_snr_max "
                 f"{noise_snr_max}"
@@ -190,19 +197,7 @@ def parse_spec_augment(spec: str) -> SpecAugment:
 
     Keys: freq_masks, freq_width, time_masks, time_ratio.
     """
-    kw = {}
-    for part in filter(None, (spec or "").split(",")):
-        if "=" not in part:
-            raise ValueError(
-                f"--spec_augment expects 'k=v,...', got {part!r}"
-            )
-        k, v = part.split("=", 1)
-        k = k.strip()
-        if k not in ("freq_masks", "freq_width", "time_masks",
-                     "time_ratio"):
-            raise ValueError(
-                f"unknown --spec_augment key {k!r}; have freq_masks, "
-                "freq_width, time_masks, time_ratio"
-            )
-        kw[k] = float(v) if k == "time_ratio" else int(v)
-    return SpecAugment(**kw)
+    return SpecAugment(**_parse_kv(spec, "--spec_augment", {
+        "freq_masks": int, "freq_width": int, "time_masks": int,
+        "time_ratio": float,
+    }))

@@ -316,3 +316,18 @@ def test_train_cli_wires_wav_augment(tmp_path, capsys):
             "--epochs", "1", "--batch_size", "4", "--num_devices", "1",
             "--wav_augment", "", "--save", str(tmp_path / "run2"),
         ])
+
+
+def test_wav_augment_min_without_max_is_loud():
+    """noise_snr_min alone would silently disable noise (it is gated on
+    noise_snr_max) — must refuse at construction."""
+    import pytest
+
+    from asr_study_tpu.features.augment import (
+        WavAugment, parse_wav_augment,
+    )
+
+    with pytest.raises(ValueError, match="noise_snr_max"):
+        WavAugment(noise_snr_min=25.0)
+    with pytest.raises(ValueError, match="noise_snr_max"):
+        parse_wav_augment("noise_snr_min=25")

@@ -240,3 +240,25 @@ class TestDeviceFeaturesCLI:
                 "--save", str(tmp_path / "r"),
                 "--device_features", "mfcc", "--platform", "cpu",
             ])
+
+    def test_predict_explicit_parser_drops_recorded_params(self, raw_run,
+                                                           capsys):
+        """An explicit --input_parser wins over the recorded chain, and
+        the recorded device_feature_params must NOT ride along (they
+        belong to the recorded parser).  Explicit parser + explicit
+        params reproduces the 13-dim chain and decodes fine."""
+        import glob
+        import json
+
+        from asr_study_tpu.cli.predict import main as predict_main
+
+        _h5, run, corpus = raw_run
+        wav = sorted(glob.glob(corpus + "/*.wav"))[0]
+        rc = predict_main([
+            "--save", run, "--platform", "cpu",
+            "--input_parser", "mfcc",
+            "--input_params", '{"d": false, "dd": false}', wav,
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "transcript" in out
