@@ -106,6 +106,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--device_feature_params", default=None,
                    help='feature kwargs as JSON for --device_features, '
                         'e.g. \'{"nfilt": 80, "d": true}\'')
+    p.add_argument("--sortagrad", action="store_true",
+                   help="first epoch in ascending-duration batch order "
+                        "(SortaGrad, Deep Speech 2): short, easy CTC "
+                        "alignments stabilize warm-up; later epochs "
+                        "shuffle as usual")
     p.add_argument("--wav_augment", nargs="?", const="", default=None,
                    help="raw-waveform augmentation during training "
                         "(needs --device_features): per-utterance random "
@@ -291,6 +296,7 @@ def main(argv=None) -> int:
         "lr_plateau": args.lr_plateau,
         "spec_augment": args.spec_augment,
         "wav_augment": args.wav_augment,
+        "sortagrad": args.sortagrad,
         "device_features": args.device_features,
         "device_feature_params": args.device_feature_params,
         "num_feats": (
@@ -304,6 +310,7 @@ def main(argv=None) -> int:
         epochs=args.epochs, seed=args.seed, ckpt=ckpt, hparams=hparams,
         log_dir=args.save, log_every=args.log_every, profile=args.profile,
         tensorboard=args.tensorboard, early_stop_patience=args.early_stop,
+        sortagrad=args.sortagrad,
     )
     ckpt.close()
     return 0

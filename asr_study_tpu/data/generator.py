@@ -227,11 +227,17 @@ class DatasetIterator:
         )
         return Batch(inputs, input_lengths, labels, label_lengths, weights, texts, uids)
 
-    def epoch(self, seed: Optional[int] = None) -> Iterator[Batch]:
+    def epoch(self, seed: Optional[int] = None,
+              ordered: bool = False) -> Iterator[Batch]:
         """One pass over the data; batch *order* is shuffled per epoch while
-        bucket composition stays fixed (duration-sorted)."""
+        bucket composition stays fixed (duration-sorted).
+
+        ``ordered=True`` yields batches in ascending-duration order
+        instead (the batch list is built over the duration-sorted row
+        order, so the unshuffled order IS shortest-first) — the SortaGrad
+        curriculum's first epoch (Deep Speech, Amodei et al. 2016)."""
         batches = list(self._batches)
-        if self.gen.shuffle:
+        if self.gen.shuffle and not ordered:
             np.random.default_rng(seed).shuffle(batches)
         for idx in batches:
             yield self._make_batch(idx)

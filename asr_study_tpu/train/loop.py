@@ -35,6 +35,7 @@ def fit(
     profile_steps: tuple = (10, 20),
     tensorboard: bool = False,
     early_stop_patience: int = 0,
+    sortagrad: bool = False,
 ) -> TrainState:
     """Run ``epochs`` epochs; returns the final state.
 
@@ -45,6 +46,11 @@ def fit(
     ``early_stop_patience`` > 0 stops training once ``val_loss`` has not
     improved for that many consecutive epochs (the Keras ``EarlyStopping``
     idiom; requires ``valid_iter``).
+
+    ``sortagrad=True`` runs the FIRST epoch of training in ascending-
+    duration batch order (SortaGrad, Deep Speech 2): early CTC steps see
+    short, easy alignments, which stabilizes the warm-up phase.  Only the
+    true first epoch — a resumed run (state.step > 0) never re-orders.
     """
     if early_stop_patience > 0 and valid_iter is None:
         raise ValueError(
@@ -56,6 +62,7 @@ def fit(
     writer = MetricWriter(log_dir, "train", tensorboard=tensorboard)
     rng = jax.random.PRNGKey(seed)
     step = int(state.step)
+    first_epoch_ordered = sortagrad and step == 0
     t_last = time.time()
     best_val = float("inf")
     stale_epochs = 0
@@ -96,7 +103,10 @@ def fit(
         ep_acc = (jnp.zeros(()), jnp.zeros(()))
         pending = None               # (step, device metrics, epoch)
         batches = device_prefetch(
-            train_iter.epoch(seed=seed + epoch),
+            train_iter.epoch(
+                seed=seed + epoch,
+                ordered=first_epoch_ordered and epoch == 0,
+            ),
             depth=2,
             sharding=trainer.batch_sharding,
         )

@@ -214,6 +214,26 @@ def test_generator_epoch_shuffles_batch_order():
     assert e1 != e2  # different order
 
 
+def test_generator_epoch_ordered_is_ascending_duration():
+    """epoch(ordered=True) = SortaGrad's first epoch: shortest batches
+    first, identical for every seed, with later shuffled epochs
+    untouched."""
+    inputs, labels = _fake_rows(n=64)
+    it = DatasetGenerator(batch_size=8).flow(inputs, labels)
+
+    def real_max_frames(b):
+        return int(b.input_lengths[b.weights > 0].max())
+
+    o1 = list(it.epoch(seed=1, ordered=True))
+    o2 = list(it.epoch(seed=2, ordered=True))
+    assert [b.uids.tolist() for b in o1] == [b.uids.tolist() for b in o2]
+    lens = [real_max_frames(b) for b in o1]
+    assert lens == sorted(lens)
+    # a shuffled epoch still shuffles
+    e1 = [b.uids.tolist() for b in it.epoch(seed=1)]
+    assert e1 != [b.uids.tolist() for b in o1]
+
+
 def test_generator_empty_raises():
     with pytest.raises(ValueError):
         DatasetGenerator().flow([], [])

@@ -718,3 +718,54 @@ def test_early_stopping(tmp_path, capsys):
     # epoch 0 sets best; epochs 1-2 are stale -> stop after 3 epochs
     assert int(out.step) == 3 * train_it.steps_per_epoch
     assert "early stop" in capsys.readouterr().err
+
+
+class TestSortaGrad:
+    """--sortagrad: the FIRST epoch of training runs in ascending-duration
+    batch order; later epochs (and resumed runs) shuffle as usual."""
+
+    class _Recording:
+        """Delegates to a real DatasetIterator, recording epoch() kwargs."""
+
+        def __init__(self, it):
+            self._it = it
+            self.ordered_calls = []
+
+        def __getattr__(self, name):
+            return getattr(self._it, name)
+
+        def epoch(self, seed=None, ordered=False):
+            self.ordered_calls.append(ordered)
+            return self._it.epoch(seed=seed, ordered=ordered)
+
+    def _fit(self, state=None, sortagrad=True, epochs=2):
+        from asr_study_tpu.data.generator import DatasetGenerator
+        from asr_study_tpu.train.loop import fit
+
+        rng = np.random.RandomState(0)
+        inputs = [
+            rng.randn(8 + 4 * i, 5).astype(np.float32) for i in range(8)
+        ]
+        labels = [
+            rng.randint(0, 4, (2,)).astype(np.int32) for _ in range(8)
+        ]
+        it = self._Recording(
+            DatasetGenerator(batch_size=4).flow(inputs, labels)
+        )
+        _, trainer = _toy_trainer(donate=False)
+        if state is None:
+            state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        state = fit(trainer, state, it, epochs=epochs, seed=0,
+                    log_every=100, sortagrad=sortagrad)
+        return it.ordered_calls, state
+
+    def test_first_epoch_ordered_then_shuffled(self):
+        calls, state = self._fit(sortagrad=True)
+        assert calls == [True, False]
+
+    def test_off_by_default_and_resume_never_reorders(self):
+        calls, state = self._fit(sortagrad=False)
+        assert calls == [False, False]
+        # resumed run (step > 0): sortagrad must NOT re-order epoch 0
+        calls2, _ = self._fit(state=state, sortagrad=True)
+        assert calls2 == [False, False]
