@@ -262,3 +262,23 @@ class TestDeviceFeaturesCLI:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "transcript" in out
+
+    def test_eval_data_parallel_matches_single(self, raw_run, capsys):
+        """The featurizer runs INSIDE eval's shard_map under --num_devices;
+        sharded metrics must match the single-device run."""
+        import json
+
+        from asr_study_tpu.cli.eval import main as eval_main
+
+        h5, run, _corpus = raw_run
+        argv = ["--dataset", h5, "--split", "test", "--save", run,
+                "--platform", "cpu", "--batch_size", "8"]
+        assert eval_main(argv) == 0
+        single = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert eval_main(argv + ["--num_devices", "2"]) == 0
+        dp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert dp["num_utts"] == single["num_utts"]
+        assert abs(dp["loss"] - single["loss"]) < 1e-3
+        assert dp["cer"] == single["cer"]
