@@ -282,3 +282,33 @@ class TestDeviceFeaturesCLI:
         assert dp["num_utts"] == single["num_utts"]
         assert abs(dp["loss"] - single["loss"]) < 1e-3
         assert dp["cer"] == single["cer"]
+
+
+class TestFeaturizerWithTP:
+    def test_dp_tp_mesh_train_step(self):
+        """The in-step featurizer composes with the 2-D (data, model)
+        tensor-parallel mesh: features are computed per data-shard and the
+        TP recurrence consumes them unchanged."""
+        assert len(jax.devices()) >= 4
+        from asr_study_tpu.train.trainer import make_mesh
+
+        feat = DeviceFeaturizer(kind="mfcc", d=False, dd=False)
+        model = build_model("deep_blstm",
+                            {"num_hiddens": 8, "num_layers": 1},
+                            num_classes=4)
+        tx = make_optimizer("adam", 5e-3, clipnorm=10.0)
+        mesh = make_mesh(2, model_devices=2)
+        tr = Trainer(model, tx, mesh=mesh, donate_state=False,
+                     featurizer=feat)
+        state = tr.init_state(jax.random.PRNGKey(0),
+                              input_dim=feat.num_feats)
+        wavs = jax.random.normal(jax.random.PRNGKey(1), (4, 4096)) * 0.1
+        lens = jnp.full((4,), 4096, jnp.int32)
+        labels = jax.random.randint(jax.random.PRNGKey(2), (4, 3), 0, 4)
+        llens = jnp.full((4,), 3, jnp.int32)
+        state, m = tr.train_step(
+            state, wavs[..., None], lens, labels, llens,
+            jnp.ones((4,), jnp.float32), jax.random.PRNGKey(3),
+        )
+        assert np.isfinite(float(m["loss"]))
+        assert int(state.step) == 1
