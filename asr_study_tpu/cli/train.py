@@ -53,8 +53,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "per N micro-batches (effective batch = N x "
                         "batch_size at one micro-batch's memory)")
     p.add_argument("--early_stop", type=int, default=0,
-                   help="stop when val_loss has not improved for N "
+                   help="stop when --monitor has not improved for N "
                         "epochs (0 = off)")
+    p.add_argument("--monitor", default="val_loss",
+                   choices=["val_loss", "val_ler"],
+                   help="validation metric driving BOTH the 'best' "
+                        "checkpoint and --early_stop (the Keras "
+                        "ModelCheckpoint/EarlyStopping monitor idiom; "
+                        "lower is better for both choices)")
     p.add_argument("--save", default=None,
                    help="checkpoint/log dir (default: auto-named from the "
                         "model + non-default args, like the reference)")
@@ -275,7 +281,7 @@ def main(argv=None) -> int:
         src.close()
         print(f"warm-started weights from {args.init_from}",
               file=sys.stderr)
-    ckpt = CheckpointManager(args.save)
+    ckpt = CheckpointManager(args.save, best_metric=args.monitor)
     if args.resume:
         if ckpt.latest_step is not None:
             state = ckpt.restore(state)
@@ -294,6 +300,7 @@ def main(argv=None) -> int:
         "bf16": args.bf16, "lr_decay": args.lr_decay,
         "early_stop": args.early_stop, "accum_steps": args.accum_steps,
         "lr_plateau": args.lr_plateau,
+        "monitor": args.monitor,
         "spec_augment": args.spec_augment,
         "wav_augment": args.wav_augment,
         "sortagrad": args.sortagrad,
@@ -310,7 +317,7 @@ def main(argv=None) -> int:
         epochs=args.epochs, seed=args.seed, ckpt=ckpt, hparams=hparams,
         log_dir=args.save, log_every=args.log_every, profile=args.profile,
         tensorboard=args.tensorboard, early_stop_patience=args.early_stop,
-        sortagrad=args.sortagrad,
+        sortagrad=args.sortagrad, monitor=args.monitor,
     )
     ckpt.close()
     return 0

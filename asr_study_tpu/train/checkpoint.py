@@ -34,7 +34,8 @@ class CheckpointManager:
 
         <dir>/ckpt/<step>/      latest checkpoints (recency retention)
         <dir>/best/<step>/      best-by-metric checkpoint
-        <dir>/meta.json         {hparams, history, best_step, last_step}
+        <dir>/meta.json         {hparams, history, last_step} (best_step
+                                is resolved live from the best store)
     """
 
     def __init__(

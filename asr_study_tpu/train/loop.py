@@ -36,6 +36,7 @@ def fit(
     tensorboard: bool = False,
     early_stop_patience: int = 0,
     sortagrad: bool = False,
+    monitor: str = "val_loss",
 ) -> TrainState:
     """Run ``epochs`` epochs; returns the final state.
 
@@ -43,9 +44,12 @@ def fit(
     of steps [profile_steps) into ``<log_dir>/trace`` — the tracing hook the
     reference never had (SURVEY.md §5.1).
 
-    ``early_stop_patience`` > 0 stops training once ``val_loss`` has not
-    improved for that many consecutive epochs (the Keras ``EarlyStopping``
-    idiom; requires ``valid_iter``).
+    ``early_stop_patience`` > 0 stops training once ``monitor`` (val_loss
+    or val_ler; lower is better) has not improved for that many
+    consecutive epochs (the Keras ``EarlyStopping`` idiom; requires
+    ``valid_iter``).  The same metric should drive the checkpoint
+    manager's best retention (``CheckpointManager(best_metric=...)``) —
+    the train CLI's ``--monitor`` sets both.
 
     ``sortagrad=True`` runs the FIRST epoch of training in ascending-
     duration batch order (SortaGrad, Deep Speech 2): early CTC steps see
@@ -144,9 +148,9 @@ def fit(
                 metrics={k: v for k, v in scalars.items() if k != "epoch"},
                 hparams=hparams,
             )
-        if early_stop_patience > 0 and "val_loss" in scalars:
-            if scalars["val_loss"] < best_val - 1e-6:
-                best_val = scalars["val_loss"]
+        if early_stop_patience > 0 and monitor in scalars:
+            if scalars[monitor] < best_val - 1e-6:
+                best_val = scalars[monitor]
                 stale_epochs = 0
             else:
                 stale_epochs += 1
@@ -154,7 +158,7 @@ def fit(
                     import sys
 
                     print(
-                        f"early stop: val_loss has not improved for "
+                        f"early stop: {monitor} has not improved for "
                         f"{stale_epochs} epochs (best {best_val:.4g})",
                         file=sys.stderr,
                     )

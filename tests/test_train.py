@@ -424,6 +424,28 @@ class TestCheckpointRetention:
         mgr.close()
 
 
+    def test_best_metric_val_ler(self, tmp_path):
+        """CheckpointManager(best_metric='val_ler') retains the lowest-LER
+        step even when val_loss says otherwise (train.py --monitor)."""
+        _, trainer = _toy_trainer(donate=False)
+        state = trainer.init_state(jax.random.PRNGKey(0), input_dim=5)
+        b = _toy_batch(jax.random.PRNGKey(1))
+        mgr = CheckpointManager(str(tmp_path / "run"), max_to_keep=2,
+                                best_metric="val_ler")
+        # loss keeps improving but LER bottoms out at step 2
+        metrics = [(3.0, 0.9), (2.0, 0.4), (1.0, 0.7), (0.5, 0.8)]
+        for loss, ler in metrics:
+            state, _ = trainer.train_step(
+                state, b["inputs"], b["input_lengths"], b["labels"],
+                b["label_lengths"], b["weights"], jax.random.PRNGKey(2),
+            )
+            mgr.save(state, metrics={"val_loss": loss, "val_ler": ler})
+        mgr.wait()
+        assert mgr.latest_step == 4
+        assert mgr.best_step == 2
+        mgr.close()
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_dummy_corpus_pipeline(self, tmp_path):
