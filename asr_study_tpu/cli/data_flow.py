@@ -81,13 +81,17 @@ RAW_GEN_KW = dict(time_multiple=2048, min_time=2048)
 
 def device_featurizer_for(kind: str, params_json: Optional[str],
                           batch_per_shard: int, it, dataset: str,
-                          context: str):
+                          context: str, extra_its=()):
     """Reconstruct the on-device feature chain for a raw-waveform
     iterator — ONE policy for train (``--device_features``) and eval
     (the run's recorded hparams), so the two can't drift: same raw-
     dataset guard, same JSON param parse, same probe-at-the-largest-
     real-padded-shape featurizer selection (Mosaic can accept one shape
-    and reject another)."""
+    and reject another).  ``extra_its`` names every other iterator the
+    featurizer will also run on (train's valid split): the probe must
+    cover the max padded shape across ALL of them, or a longer-than-
+    train validation utterance hits an unprobed Mosaic shape at the
+    first end-of-epoch eval — after a full epoch of training compute."""
     if it.num_feats != 1:
         raise SystemExit(
             f"{context} needs a raw-waveform dataset "
@@ -97,7 +101,11 @@ def device_featurizer_for(kind: str, params_json: Optional[str],
     from asr_study_tpu.features.select import probed_featurizer
 
     kw = json.loads(params_json) if params_json else {}
-    max_n = max(t for t, _ in it.padded_shapes())
+    max_n = max(
+        t
+        for i in (it, *[x for x in extra_its if x is not None])
+        for t, _ in i.padded_shapes()
+    )
     return probed_featurizer(kind, (batch_per_shard, max_n), **kw)
 
 

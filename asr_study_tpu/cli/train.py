@@ -123,7 +123,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "gain + additive white noise, on device inside "
                         "the train step; optionally 'gain_db=3,"
                         "noise_snr_min=20,noise_snr_max=50' (bare flag = "
-                        "those defaults)")
+                        "those defaults; setting only one group, gain or "
+                        "noise, keeps the other group's default)")
     p.add_argument("--spec_augment", nargs="?", const="", default=None,
                    help="SpecAugment feature masking during training; "
                         "optionally 'freq_masks=2,freq_width=8,"
@@ -241,7 +242,7 @@ def main(argv=None) -> int:
         featurizer = device_featurizer_for(
             args.device_features, args.device_feature_params,
             args.batch_size // n_dev, train_it, args.dataset,
-            "--device_features",
+            "--device_features", extra_its=(valid_it,),
         )
         print(
             f"on-device features: {args.device_features} "

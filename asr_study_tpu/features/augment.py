@@ -183,12 +183,22 @@ def _parse_kv(spec: str, flag: str, keys: dict):
 
 def parse_wav_augment(spec: str) -> WavAugment:
     """Build from the CLI's ``"k=v,..."`` string (empty string -> a mild
-    default: gain_db=3, noise at SNR U[20, 50] dB)."""
+    default: gain_db=3, noise at SNR U[20, 50] dB).
+
+    Defaults merge per knob GROUP (gain | noise): tuning one group keeps
+    the other group's documented default — ``gain_db=6`` still adds the
+    default noise (ADVICE r3: replacing ALL defaults on any key silently
+    disabled the noise users weren't touching).  Specifying any key of a
+    group takes full control of that group, so ``noise_snr_max=0``
+    disables noise without tripping the min>max validation.
+    """
     kw = _parse_kv(spec, "--wav_augment", {
         "gain_db": float, "noise_snr_min": float, "noise_snr_max": float,
     })
-    if not kw:
-        kw = dict(gain_db=3.0, noise_snr_min=20.0, noise_snr_max=50.0)
+    if "gain_db" not in kw:
+        kw["gain_db"] = 3.0
+    if not ({"noise_snr_min", "noise_snr_max"} & kw.keys()):
+        kw.update(noise_snr_min=20.0, noise_snr_max=50.0)
     return WavAugment(**kw)
 
 

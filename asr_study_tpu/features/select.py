@@ -61,9 +61,13 @@ def probed_featurizer(kind: str, probe_shape, use_pallas: bool = True,
         except Exception as e:
             import sys
 
+            # carry the MESSAGE, not just the type: a genuine bug in the
+            # Pallas featurizer otherwise degrades silently to the slower
+            # XLA path with nothing actionable on stderr (ADVICE r3)
+            msg = str(e).splitlines()[0][:300] if str(e) else ""
             print(
                 f"{type(cand).__name__} unavailable "
-                f"({type(e).__name__}); falling back to the XLA "
+                f"({type(e).__name__}: {msg}); falling back to the XLA "
                 "feature path",
                 file=sys.stderr,
             )

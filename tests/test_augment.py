@@ -235,6 +235,21 @@ class TestWavAugment:
         with pytest.raises(ValueError):
             WavAugment(noise_snr_min=30.0, noise_snr_max=10.0)
 
+    def test_parse_merges_defaults_per_group(self):
+        # ADVICE r3: 'gain_db=6' must NOT silently disable the default
+        # noise; touching any noise key takes over the whole noise group
+        from asr_study_tpu.features.augment import parse_wav_augment
+
+        aug = parse_wav_augment("gain_db=6")
+        assert (aug.gain_db, aug.noise_snr_min, aug.noise_snr_max) == \
+            (6.0, 20.0, 50.0)
+        aug = parse_wav_augment("noise_snr_max=0")   # noise off, gain kept
+        assert (aug.gain_db, aug.noise_snr_min, aug.noise_snr_max) == \
+            (3.0, 0.0, 0.0)
+        aug = parse_wav_augment("noise_snr_min=25,noise_snr_max=40")
+        assert (aug.gain_db, aug.noise_snr_min, aug.noise_snr_max) == \
+            (3.0, 25.0, 40.0)
+
     def test_trainer_requires_featurizer(self):
         import pytest
 
