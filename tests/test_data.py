@@ -108,6 +108,41 @@ def test_dummy_generates(tmp_path):
     assert [u["audio"] for u in utts] == [u["audio"] for u in utts2]
 
 
+def test_synthwords_structured_corpus(tmp_path):
+    from asr_study_tpu.data.corpora import SynthWords
+    from asr_study_tpu.text.parser import CharParser
+
+    d = SynthWords(str(tmp_path / "synth"), n=20, seed=3)
+    utts = list(d.iter_utterances())
+    assert len(utts) == 20
+    assert {u["split"] for u in utts} == {"train", "valid", "test"}
+    parser = CharParser()
+    words = SynthWords._WORDS
+    for u in utts:
+        assert os.path.exists(u["audio"])
+        assert parser.is_valid(u["label"])
+        assert all(w in words for w in u["label"].split())
+    # held-out splits share the train WORD distribution (the point of
+    # the corpus): at this tiny n most val/test words occur in train;
+    # full overlap needs the real corpus sizes (n >= 400)
+    train_words = {w for u in utts if u["split"] == "train"
+                   for w in u["label"].split()}
+    held_words = {w for u in utts if u["split"] != "train"
+                  for w in u["label"].split()}
+    assert len(held_words & train_words) >= len(held_words) // 2
+    # deterministic per seed: a second parser regenerates identical audio
+    d2 = SynthWords(str(tmp_path / "synth2"), n=20, seed=3)
+    utts2 = list(d2.iter_utterances())
+    assert [u["label"] for u in utts] == [u["label"] for u in utts2]
+    a = open(utts[0]["audio"], "rb").read()
+    b = open(utts2[0]["audio"], "rb").read()
+    assert a == b
+    # a different seed gives different transcripts
+    d3 = SynthWords(str(tmp_path / "synth3"), n=20, seed=4)
+    assert [u["label"] for u in d3.iter_utterances()] != \
+        [u["label"] for u in utts]
+
+
 # -- serialization -----------------------------------------------------------
 
 def test_to_json(tmp_path):
