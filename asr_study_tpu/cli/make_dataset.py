@@ -21,6 +21,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="corpus name (lapsbm|voxforge|sid|cslu|brsd|dummy)")
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--output", required=True, help="output .h5 path")
+    p.add_argument("--corpus_params", default=None,
+                   help="corpus-parser kwargs as JSON, e.g. "
+                        '\'{"n": 400, "seed": 1}\' for the synthetic '
+                        "parsers (dummy, synthwords)")
     p.add_argument("--input_parser", default="mfcc")
     p.add_argument("--input_params", default=None,
                    help='feature kwargs as JSON, e.g. \'{"d": true, "dd": true}\'')
@@ -61,7 +65,10 @@ def main(argv=None) -> int:
         from asr_study_tpu.utils.platform import select_platform
 
         select_platform(args.platform)
-    corpus = get_from_module("corpus", args.parser)(args.dataset_dir)
+    corpus_kw = json.loads(args.corpus_params) if args.corpus_params else {}
+    corpus = get_from_module("corpus", args.parser)(
+        args.dataset_dir, **corpus_kw
+    )
     feat_kw = json.loads(args.input_params) if args.input_params else {}
     if args.device:
         from asr_study_tpu.features.batch_extract import (

@@ -74,7 +74,12 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 1)
-    acc = jnp.zeros((1, 1), jnp.int32) + carry_ref[0, 0]
+    # running carry kept LANE-REPLICATED [1, 256]: a [1, 1] carry forces
+    # Mosaic to broadcast in both sublanes and lanes at the `rows` add
+    # below, which it refuses ("Not implemented"); a scalar SMEM read
+    # splats fine, and the block-total update (row 15 of the prefix
+    # tile) is already lane-uniform, so no [1, 1] value ever exists.
+    acc = jnp.zeros((1, _GPB), jnp.int32) + carry_ref[0, 0]
 
     for b in range(g):
         dmas[b].wait()
@@ -102,15 +107,30 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
             x = x + jnp.where(col >= s, r, 0)
             s *= 2
 
-        # row prefixes + cross-block carry: 16 static [1, 256] updates;
-        # row i's total is its cumsum's last lane.
-        for i in range(_GROUP):
-            row = x[i: i + 1, :] + acc
-            wrapped = ((row + 32768) & 0xFFFF) - 32768
-            out_ref[b * _GROUP + i: b * _GROUP + i + 1, :] = (
-                wrapped.astype(jnp.float32) * (1.0 / 32768.0)
+        # row prefixes: the block's 16 sample rows chain through each
+        # other, but the chain is just an exclusive cumsum of the 16 row
+        # TOTALS (each row's last lane).  r3 walked the rows with 16
+        # sequential [1, 256] updates — ~11k dependent VPU ops per batch,
+        # the kernel's dominant serial term (BENCHMARKS.md r4).  Instead:
+        # one sublane-axis Hillis-Steele over the totals (4 rolls), one
+        # [16, 256] add, ONE block-wide write.
+        totb = x[:, _GPB - 1: _GPB] + jnp.zeros((_GROUP, _GPB), jnp.int32)
+        inc = totb
+        s = 1
+        while s < _GROUP:
+            r = jnp.roll(inc, s, axis=0) if interpret else pltpu.roll(
+                inc, s, 0
             )
-            acc = acc + x[i: i + 1, _GPB - 1: _GPB]
+            inc = inc + jnp.where(ii >= s, r, 0)
+            s *= 2
+        rows = x + (inc - totb) + acc
+        wrapped = ((rows + 32768) & 0xFFFF) - 32768
+        out_ref[b * _GROUP: (b + 1) * _GROUP, :] = (
+            wrapped.astype(jnp.float32) * (1.0 / 32768.0)
+        )
+        # block total = row 15's inclusive prefix (lane-uniform by
+        # construction, so the carry stays [1, 256] with no broadcast)
+        acc = acc + inc[_GROUP - 1: _GROUP, :]
 
     carry_ref[0, 0] = acc[0, 0]
 

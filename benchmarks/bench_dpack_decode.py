@@ -60,7 +60,14 @@ def main() -> int:
                     default=["pcm16", "dpack_xla", "dpack_pallas"],
                     help="subset of modes (one per run keeps remote "
                          "compiles short)")
+    ap.add_argument("--g", type=int, default=0,
+                    help="override ops/pallas_dpack._G (blocks per grid "
+                         "step) for the dpack_pallas mode — tuning probe")
     args = ap.parse_args()
+    if args.g:
+        from asr_study_tpu.ops import pallas_dpack
+
+        pallas_dpack._G = args.g
     if args.platform:
         from asr_study_tpu.utils.platform import select_platform
 

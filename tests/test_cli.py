@@ -46,6 +46,26 @@ def test_make_dataset_main(tmp_path, capsys):
     assert all("label" in u and "audio" in u for u in manifest)
 
 
+def test_make_dataset_corpus_params(tmp_path):
+    """--corpus_params forwards JSON kwargs to the corpus constructor
+    (synthwords/dummy sizing without pre-generating the directory)."""
+    out = str(tmp_path / "s.h5")
+    rc = make_dataset_main([
+        "--parser", "synthwords",
+        "--dataset_dir", str(tmp_path / "synth"),
+        "--corpus_params", '{"n": 12, "seed": 2}',
+        "--output", out,
+        "--input_parser", "mfcc",
+    ])
+    assert rc == 0
+    import os
+    wavs = [f for f in os.listdir(tmp_path / "synth")
+            if f.endswith(".wav")]
+    assert len(wavs) == 12
+    with h5py.File(out) as f:
+        assert "train" in f and "valid" in f and "test" in f
+
+
 def test_export_weights_roundtrip(tmp_path):
     """extras/export_weights.py: run dir -> single npz, bit-exact."""
     import numpy as np
