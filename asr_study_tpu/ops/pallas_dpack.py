@@ -51,26 +51,41 @@ _G = 8            # blocks decoded per grid step (DMA/issue amortization)
 
 
 def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
-            g: int, interpret: bool):
+            g: int, nsteps: int, interpret: bool):
     j = pl.program_id(0)
+    slot = jax.lax.rem(j, 2)
 
-    # Start every block's plane-window copy up front; they overlap each
-    # other and the first blocks' compute.  Each copy is 16 plane rows
-    # from the block's dynamic payload offset (over-reading into the
-    # next block's rows when width < 16 — masked off below).
-    dmas = []
-    for b in range(g):
-        dma = pltpu.make_async_copy(
-            pay_ref.at[pl.ds(rs_ref[j * g + b], _GROUP)],
-            scr.at[b],
-            sems.at[b],
-        )
-        dma.start()
-        dmas.append(dma)
+    # Cross-step double buffering: the grid is SEQUENTIAL (the sample
+    # carry chains through SMEM), so without prefetch every step stalls
+    # on its first block's plane copy.  Step j issues step j+1's g
+    # copies into the other scratch slot before doing its own compute;
+    # step 0 issues its own first.  Each copy is 16 plane rows from the
+    # block's dynamic payload offset (over-reading into the next
+    # block's rows when width < 16 — masked off below).
+    def _issue(step, into_slot):
+        for b in range(g):
+            pltpu.make_async_copy(
+                pay_ref.at[pl.ds(rs_ref[step * g + b], _GROUP)],
+                scr.at[into_slot, b],
+                sems.at[into_slot, b],
+            ).start()
 
     @pl.when(j == 0)
     def _():
         carry_ref[0, 0] = 0
+        _issue(j, slot)
+
+    @pl.when(j + 1 < nsteps)
+    def _():
+        _issue(j + 1, 1 - slot)
+
+    def _wait(b):
+        # reconstruct the descriptor (same src/dst/sem) to wait on it
+        pltpu.make_async_copy(
+            pay_ref.at[pl.ds(rs_ref[j * g + b], _GROUP)],
+            scr.at[slot, b],
+            sems.at[slot, b],
+        ).wait()
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 1)
@@ -82,14 +97,17 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
     acc = jnp.zeros((1, _GPB), jnp.int32) + carry_ref[0, 0]
 
     for b in range(g):
-        dmas[b].wait()
+        _wait(b)
         w = w_ref[j * g + b]
         # [16, 256] plane words; planes >= width are over-read garbage
-        planes = jnp.where(ii < w, scr[b, :, 0, :], 0)
+        planes = jnp.where(ii < w, scr[slot, b, :, 0, :], 0)
 
         # bit-plane expansion: u[i, m] = sum_p ((planes[p, m] >> i) & 1)
         # << p — each plane row broadcasts over the 16 sample rows with
         # a per-row shift; 16 uniform VPU passes, no control flow.
+        # (A 4-level butterfly bit-transpose — nominally half the vreg
+        # passes — measured SLOWER: 2.02 vs 1.85 ms/batch, r4; the
+        # cross-sublane rolls cost more than the broadcast shifts.)
         u = jnp.zeros((_GROUP, _GPB), jnp.int32)
         for p in range(_GROUP):
             u = u | (((planes[p: p + 1, :] >> ii) & 1) << p)
@@ -177,13 +195,14 @@ def dpack_decode(payload: jax.Array, row_start: jax.Array,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((g, _GROUP, 1, _GPB), jnp.int32),
+            pltpu.VMEM((2, g, _GROUP, 1, _GPB), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((g,)),
+            pltpu.SemaphoreType.DMA((2, g)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, g=g, interpret=interpret),
+        functools.partial(_kernel, g=g, nsteps=nb_pad // g,
+                          interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_pad * _GROUP, _GPB),
                                        jnp.float32),
