@@ -30,6 +30,7 @@ from asr_study_tpu.ops.pallas_lstm import (
     _budget_chunk,
     _divisor_chunk,
     _pad_time,
+    _unroll_rows,
 )
 from asr_study_tpu.ops.pallas_zoneout_lstm import (
     _zo_cell_math,
@@ -110,8 +111,8 @@ def _bibwd_kernel(xpf_ref, xpb_ref, mf_ref, mb_ref,
         )
         return (dhf, dcf, dhb, dcb)
 
-    dhf, dcf, dhb, dcb = jax.lax.fori_loop(
-        0, chunk, body,
+    dhf, dcf, dhb, dcb = _unroll_rows(
+        chunk, body,
         (dhf_scr[...], dcf_scr[...], dhb_scr[...], dcb_scr[...]),
     )
     dhf_scr[...] = dhf

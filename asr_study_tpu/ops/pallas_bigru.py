@@ -26,6 +26,7 @@ from asr_study_tpu.ops.pallas_lstm import (
     _budget_chunk,
     _divisor_chunk,
     _pad_time,
+    _unroll_rows,
 )
 from asr_study_tpu.ops.pallas_bilstm import _compiler_params, _fused_budget
 from asr_study_tpu.ops.pallas_gru import _gru_gates
@@ -112,7 +113,8 @@ def _bibwd_kernel(xpf_ref, xpb_ref, mf_ref, mb_ref,
         )
         return (dhf, dhb)
 
-    dhf, dhb = jax.lax.fori_loop(0, chunk, body,
+    dhf, dhb = _unroll_rows(
+        chunk, body,
                                  (dhf_scr[...], dhb_scr[...]))
     dhf_scr[...] = dhf
     dhb_scr[...] = dhb

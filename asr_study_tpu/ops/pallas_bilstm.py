@@ -47,6 +47,7 @@ from asr_study_tpu.ops.pallas_lstm import (
     _lstm_cell_math,
     _lstm_row_bwd,
     _pad_time,
+    _unroll_rows,
 )
 
 
@@ -154,8 +155,8 @@ def _bibwd_kernel(xpf_ref, xpb_ref, mf_ref, mb_ref,
         )
         return (dhf, dcf, dhb, dcb)
 
-    dhf, dcf, dhb, dcb = jax.lax.fori_loop(
-        0, chunk, body,
+    dhf, dcf, dhb, dcb = _unroll_rows(
+        chunk, body,
         (dhf_scr[...], dcf_scr[...], dhb_scr[...], dcb_scr[...]),
     )
     dhf_scr[...] = dhf

@@ -88,7 +88,9 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, dh_out_ref, wh_ref, wht_ref,
         dhp_ref[i] = dhp
         return dh_prev
 
-    dh_scr[...] = jax.lax.fori_loop(0, chunk, body, dh_scr[...])
+    from asr_study_tpu.ops.pallas_lstm import _unroll_rows
+
+    dh_scr[...] = _unroll_rows(chunk, body, dh_scr[...])
 
 
 def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):

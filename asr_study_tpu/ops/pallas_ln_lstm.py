@@ -35,11 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from asr_study_tpu.ops.pallas_lstm import (
-    _bwd_chunk,
-    _budget_chunk,
     _CHUNK,
+    _budget_chunk,
+    _bwd_chunk,
     _mm,
     _pad_time,
+    _unroll_rows,
 )
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -212,7 +213,7 @@ def _ln_bwd_kernel(xpn_ref, mask_ref, hprev_ref, cprev_ref, c_ref,
             gh_ref, gc_ref, bc_ref, dpre_ref, dcn_ref, hidden, h_real,
         )
 
-    dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_scr[...], dc_scr[...]))
+    dh, dc = _unroll_rows(chunk, body, (dh_scr[...], dc_scr[...]))
     dh_scr[...] = dh
     dc_scr[...] = dc
 

@@ -152,6 +152,20 @@ def _lstm_row_bwd(i, dh_next, dc_next, xp_ref, mask_ref, hprev_ref,
     return (dh_prev, dc_prev)
 
 
+def _unroll_rows(chunk, body, carry):
+    """Static-index replacement for ``fori_loop(0, chunk, body, carry)``
+    in the backward kernels' inner row walk: identical math and order,
+    but Mosaic sees constant ref indices.  Measured 1.733 -> 1.645
+    ms/scan at T512/B32/H256 (bench_bwd_probe.py, r4) — the backward
+    premium lives in per-iteration loop/issue structure, not arithmetic
+    (stubbing ALL cotangent VPU math saved only 1%).  chunk is
+    VMEM-budgeted small (<= 8 rows uni, <= 16 fused-bidi), so the
+    unroll stays compact."""
+    for k in range(chunk):
+        carry = body(k, carry)
+    return carry
+
+
 def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
                 wh_ref, wht_ref, dxp_ref, dh_scr, dc_scr,
                 *, hidden: int, chunk: int):
@@ -172,9 +186,7 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
             cprev_ref, c_ref, dh_out_ref, wh_ref, wht_ref, dxp_ref, hidden,
         )
 
-    dh, dc = jax.lax.fori_loop(
-        0, chunk, body, (dh_scr[...], dc_scr[...])
-    )
+    dh, dc = _unroll_rows(chunk, body, (dh_scr[...], dc_scr[...]))
     dh_scr[...] = dh
     dc_scr[...] = dc
 

@@ -32,6 +32,7 @@ from asr_study_tpu.ops.pallas_lstm import (
     _bwd_chunk,
     _mm,
     _pad_time,
+    _unroll_rows,
 )
 
 
@@ -146,7 +147,7 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref, c_ref, dh_out_ref,
             al_ref, b1_ref, b2_ref, b_ref, dpre_ref, hidden,
         )
 
-    dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_scr[...], dc_scr[...]))
+    dh, dc = _unroll_rows(chunk, body, (dh_scr[...], dc_scr[...]))
     dh_scr[...] = dh
     dc_scr[...] = dc
 

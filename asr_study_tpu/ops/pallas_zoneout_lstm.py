@@ -34,6 +34,7 @@ from asr_study_tpu.ops.pallas_lstm import (
     _bwd_chunk,
     _mm,
     _pad_time,
+    _unroll_rows,
 )
 
 
@@ -148,7 +149,7 @@ def _bwd_kernel(xp_ref, mask_ref, zh_ref, zc_ref, hprev_ref, cprev_ref,
             dxp_ref, hidden,
         )
 
-    dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_scr[...], dc_scr[...]))
+    dh, dc = _unroll_rows(chunk, body, (dh_scr[...], dc_scr[...]))
     dh_scr[...] = dh
     dc_scr[...] = dc
 

@@ -60,9 +60,12 @@ def _stub_row_bwd(i, dh_next, dc_next, xp_ref, mask_ref, hprev_ref,
         gates = xp_ref[i] + PL._mm(h_prev, wh_ref)
 
     if variant == "novpu":
-        # serial deps + shapes preserved; gate/cotangent math dropped
-        dpre = gates + jnp.concatenate([dh, dh, dh, dh], axis=-1)
-        dc_prev = dc_next + dh
+        # serial deps + shapes preserved; gate/cotangent math dropped.
+        # The 1e-3 damping keeps the unbounded linear chain finite over
+        # T frames (NaN would break the determinism checksum); it is one
+        # extra VPU op, so the stub still lower-bounds the real math.
+        dpre = (gates + jnp.concatenate([dh, dh, dh, dh], axis=-1)) * 1e-3
+        dc_prev = (dc_next + dh) * 0.25
     else:
         c_prev = cprev_ref[i]
         c_t = c_ref[i]
@@ -173,6 +176,8 @@ def main() -> int:
     ap.add_argument(
         "--variants", nargs="*",
         default=["fwd", "real", "novpu", "nomm2", "norecomp"],
+        help="also: real_c16 (backward chunk 16), real_unroll "
+             "(python-unrolled inner loop, static ref indices)",
     )
     args = ap.parse_args()
     if args.platform:
@@ -229,6 +234,44 @@ def main() -> int:
         elif v == "real":
             res[v] = timed(v, lambda x, m, h, c, d: PL._bwd_call(
                 x, m, h, c, d, wh, H, interpret)[0])
+        elif v == "real_c16":
+            old = PL._CHUNK_BWD
+            PL._CHUNK_BWD = 16
+            try:
+                res[v] = timed(v, lambda x, m, h, c, d: PL._bwd_call(
+                    x, m, h, c, d, wh, H, interpret)[0])
+            finally:
+                PL._CHUNK_BWD = old
+        elif v == "real_unroll":
+            import jax.experimental.pallas as _pl
+
+            def _unrolled_kernel(xp_ref, mask_ref, hprev_ref, cprev_ref,
+                                 c_ref, dh_out_ref, wh_ref, wht_ref,
+                                 dxp_ref, dh_scr, dc_scr, *, hidden, chunk):
+                t = _pl.program_id(0)
+
+                @_pl.when(t == 0)
+                def _():
+                    dh_scr[...] = jnp.zeros_like(dh_scr)
+                    dc_scr[...] = jnp.zeros_like(dc_scr)
+
+                carry = (dh_scr[...], dc_scr[...])
+                for k in range(chunk):       # static indices
+                    carry = PL._lstm_row_bwd(
+                        chunk - 1 - k, carry[0], carry[1], xp_ref,
+                        mask_ref, hprev_ref, cprev_ref, c_ref,
+                        dh_out_ref, wh_ref, wht_ref, dxp_ref, hidden,
+                    )
+                dh_scr[...] = carry[0]
+                dc_scr[...] = carry[1]
+
+            orig = PL._bwd_kernel
+            PL._bwd_kernel = _unrolled_kernel
+            try:
+                res[v] = timed(v, lambda x, m, h, c, d: PL._bwd_call(
+                    x, m, h, c, d, wh, H, interpret)[0])
+            finally:
+                PL._bwd_kernel = orig
         else:
             res[v] = timed(v, lambda x, m, h, c, d, v=v: stub_bwd_call(
                 x, m, h, c, d, wh, H, interpret, v))
