@@ -50,11 +50,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8,
                    help="utterances per device batch with --on_device")
     p.add_argument("--wire_codec", default="pcm16",
-                   choices=("pcm16", "dpack", "mulaw"),
+                   choices=("pcm16", "dpack", "mulaw", "auto"),
                    help="--on_device wire encoding: pcm16 (raw), dpack "
                         "(LOSSLESS delta+bit-packing, ~25% fewer bytes "
-                        "on speech, bit-identical to pcm16) or mulaw "
-                        "(8-bit companded, lossy, half the bytes)")
+                        "on speech, bit-identical to pcm16), mulaw "
+                        "(8-bit companded, lossy, half the bytes), or "
+                        "auto (probe the link: dpack on network-speed "
+                        "links where bytes dominate, pcm16 on locally "
+                        "attached devices where the decode premium does)")
     p.add_argument("--stream", action="store_true",
                    help="chunked streaming decode with carried recurrent "
                         "state — unbounded-length audio at bounded memory "
@@ -135,6 +138,17 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
     from asr_study_tpu.data import wire
     from asr_study_tpu.features.select import featurizer_candidates
     from asr_study_tpu.features.wav import read_wav
+
+    if args.wire_codec == "auto":
+        import sys
+
+        bw = wire.probe_link()
+        args.wire_codec = wire.choose_codec(bw)
+        print(
+            f"wire_codec auto: measured link ~{bw:.0f} MB/s -> "
+            f"{args.wire_codec}",
+            file=sys.stderr,
+        )
 
     wavs = [read_wav(p)[0] for p in args.wavs]
     batch = max(1, min(args.batch_size, len(wavs)))

@@ -405,6 +405,48 @@ def dpack_measure(
     return cap, scap
 
 
+def probe_link(size_mb: float = 4.0) -> float:
+    """Measured host->device round-trip bandwidth estimate, MB/s.
+
+    Times device_put + a 1-element readback for a small and a large
+    buffer and differences them, so the per-transfer setup cost (~25 ms
+    on a tunnelled link) doesn't masquerade as bandwidth.  This is a
+    SELECTION probe (dpack vs pcm16 in ``choose_codec``), not a
+    benchmark: it only needs to order "network link" (~tens of MB/s)
+    vs "locally attached" (GB/s), so one round suffices.
+    """
+    import time
+
+    def rt(n_bytes: int) -> float:
+        buf = np.zeros(n_bytes // 2, np.int16)
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        np.asarray(dev[:1])          # fetch: the only reliable sync
+        return time.perf_counter() - t0
+
+    small = 1 << 16
+    large = max(int(size_mb * 2**20), 4 * small)
+    rt(small)                        # warm dispatch path
+    dt = rt(large) - rt(small)
+    if dt <= 0:                      # below timer/setup resolution
+        return float("inf")
+    return (large - small) / dt / 2**20
+
+
+def choose_codec(bandwidth_mbps: float | None = None) -> str:
+    """Pick the serving wire codec from measured link bandwidth.
+
+    dpack saves ~12% wire bytes (BENCHMARKS.md: 14.0 vs 16 bits/sample
+    on speech) but costs ~0.5 ms/batch of on-device decode; the byte
+    saving outruns the decode premium whenever the link is slower than
+    ~1 GB/s (0.7 MB saved per 32x8s batch / 0.5 ms).  Any network or
+    tunnelled link qualifies by orders of magnitude; locally attached
+    hosts (PCIe) don't.
+    """
+    bw = probe_link() if bandwidth_mbps is None else bandwidth_mbps
+    return "dpack" if bw < 1000.0 else "pcm16"
+
+
 _DPACK_ASM_K = 8     # blocks assembled per scan step (amortizes overhead)
 
 _DPACK_BACKENDS = ("auto", "xla", "pallas")

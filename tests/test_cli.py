@@ -133,7 +133,7 @@ def test_json_manifest_flow(tmp_path):
     assert batch.texts is not None and batch.texts[0]
 
 
-@pytest.mark.parametrize("wire_codec", ["pcm16", "dpack", "mulaw"])
+@pytest.mark.parametrize("wire_codec", ["pcm16", "dpack", "mulaw", "auto"])
 def test_predict_on_device_batching(tmp_path, wire_codec):
     """--on_device glue: wire batching, batch stitching, and partial-tail
     truncation, for both wire codecs.  A stub acoustic model emits logits

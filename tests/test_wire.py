@@ -366,3 +366,19 @@ def test_pcm16_exact_inverse_of_wav_normalization():
         np.asarray(got2)[0, :4],
         np.array([32767, -32768, 32767, -32768], np.float32) / 32768.0,
     )
+
+
+def test_choose_codec_policy():
+    """Adaptive serving codec: network-speed links take dpack (bytes
+    dominate), locally attached devices take pcm16 (the on-device decode
+    premium dominates).  The 1 GB/s threshold is derived in wire.py from
+    BENCHMARKS.md's measured byte saving vs decode premium."""
+    assert wire.choose_codec(65.0) == "dpack"      # the tunnel
+    assert wire.choose_codec(999.0) == "dpack"
+    assert wire.choose_codec(1000.0) == "pcm16"
+    assert wire.choose_codec(8000.0) == "pcm16"    # PCIe-attached
+
+
+def test_probe_link_returns_bandwidth():
+    bw = wire.probe_link(size_mb=0.5)
+    assert bw > 0.0                                # inf allowed (CPU)
