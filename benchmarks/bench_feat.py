@@ -57,6 +57,11 @@ def _probe_kernel(*refs, n_parts, nfft, log_floor, stage):
     The mfcc branch mirrors the production kernel exactly at
     stage='full_kernel' (cross-checked against PallasFeaturizer output
     by the 'full' run's checksum being close)."""
+    if stage.startswith("empty_noin"):
+        # no view inputs at all: pure grid + const-residency + output cost
+        out_ref = refs[6]
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0, :, :])
+        return
     views = refs[:n_parts]
     cos_ref, sin_ref, win_ref, mel_ref, dct_ref, lift_ref = refs[
         n_parts: n_parts + 6
@@ -64,7 +69,7 @@ def _probe_kernel(*refs, n_parts, nfft, log_floor, stage):
     out_ref = refs[n_parts + 6]
     ncep = out_ref.shape[-1]
 
-    if stage == "empty":
+    if stage in ("empty", "empty_al"):
         out_ref[0, :, :] = views[0][0, :, :ncep]
         return
     frames = jnp.concatenate([v[0, :, :] for v in views], axis=-1)
@@ -90,7 +95,10 @@ def _probe_kernel(*refs, n_parts, nfft, log_floor, stage):
     energy = jnp.sum(pspec, axis=-1, keepdims=True)
     log_e = jnp.log(jnp.maximum(energy, log_floor))
     col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
-    out_ref[0, :, :] = jnp.where(col == 0, log_e, cep)
+    cep = jnp.where(col == 0, log_e, cep)
+    if cep.shape[-1] < ncep:        # *_fpad: lane-padded output block
+        cep = jnp.pad(cep, ((0, 0), (0, ncep - cep.shape[-1])))
+    out_ref[0, :, :] = cep
 
 
 def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
@@ -113,23 +121,50 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
         if need > pre.shape[1]:
             pre = jnp.pad(pre, ((0, 0), (0, need - pre.shape[1])))
         rows = pre[:, :need].reshape(batch, n_rows, hop)
-        views = [rows[:, j: j + t_pad, :] for j in range(n_parts)]
+        aligned = stage.endswith("_al")
+        hop_blk = -(-hop // 128) * 128 if aligned else hop
+        if aligned:
+            # lane-aligned hop rows: each view row padded to a multiple of
+            # 128 lanes so every HBM->VMEM block copy is tile-contiguous;
+            # the operator tables are scattered to the alive positions so
+            # the chain's math is unchanged (dead lanes are zero and hit
+            # zero window / zero DFT rows).
+            views = [
+                jnp.pad(rows[:, j: j + t_pad, :],
+                        ((0, 0), (0, 0), (0, hop_blk - hop)))
+                for j in range(n_parts)
+            ]
+        else:
+            views = [rows[:, j: j + t_pad, :] for j in range(n_parts)]
         cos, sin, win = f._cos, f._sin, f._window
         if l_pad > f.frame_len:
             z = l_pad - f.frame_len
             cos = jnp.pad(cos, ((0, z), (0, 0)))
             sin = jnp.pad(sin, ((0, z), (0, 0)))
             win = jnp.pad(win, ((0, z),))
+        if aligned:
+            alive = np.concatenate(
+                [np.arange(j * hop_blk, j * hop_blk + hop)
+                 for j in range(n_parts)]
+            )
+            l_al = n_parts * hop_blk
+            cos = jnp.zeros((l_al, cos.shape[1]), cos.dtype).at[alive].set(cos)
+            sin = jnp.zeros((l_al, sin.shape[1]), sin.dtype).at[alive].set(sin)
+            win = jnp.zeros((l_al,), win.dtype).at[alive].set(win)
+            l_pad = l_al
         k_bins = f.nfft // 2 + 1
         kernel = functools.partial(
             _probe_kernel, n_parts=n_parts, nfft=f.nfft,
             log_floor=f.log_floor, stage=stage,
         )
         view_specs = [
-            pl.BlockSpec((1, _TT, hop), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, _TT, hop_blk), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_parts)
         ]
+        if stage.startswith("empty_noin"):
+            views, view_specs = [], []
+        f_out = 128 if stage.endswith("_fpad") else f.num_cep
         const_specs = [
             pl.BlockSpec((l_pad, k_bins), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -148,15 +183,16 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
             kernel,
             grid=(batch, n_tiles),
             in_specs=view_specs + const_specs,
-            out_specs=pl.BlockSpec((1, _TT, f.num_cep),
+            out_specs=pl.BlockSpec((1, _TT, f_out),
                                    lambda b, t: (b, t, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((batch, t_pad, f.num_cep),
+            out_shape=jax.ShapeDtypeStruct((batch, t_pad, f_out),
                                            f.dtype),
             interpret=interpret,
         )(*views, cos, sin, win[None, :], f._fbank, f._dct,
           f._lift[None, :])
-        return base[:, :t_out], feat_lengths
+        # *_fpad pays its un-pad slice here, inside the timed region
+        return base[:, :t_out, : f.num_cep], feat_lengths
 
     return _transform
 
@@ -171,6 +207,8 @@ def main() -> int:
         "--stages", nargs="*",
         default=["empty", "framing", "dft", "pspec_mel", "full_kernel",
                  "full"],
+        help="also: empty_noin (no view inputs: grid+const+output cost), "
+             "empty_al / full_al (lane-aligned hop rows, 160->256)",
     )
     args = ap.parse_args()
     if args.platform:
