@@ -122,6 +122,14 @@ def _fbank_kernel(
         energy = jnp.sum(pspec, axis=-1, keepdims=True)
         log_e = jnp.log(jnp.maximum(energy, log_floor))
         feat = jnp.concatenate([feat, log_e], axis=-1)
+    if feat.shape[-1] < out_ref.shape[-1]:
+        # the output block is lane-padded to a full 128-lane tile: a
+        # [TT, 13] sub-tile store masks every lane write (measured
+        # +0.12 ms/batch, BENCHMARKS.md r4 ladder extension); the host
+        # slices the dead lanes off after the call
+        feat = jnp.pad(
+            feat, ((0, 0), (0, out_ref.shape[-1] - feat.shape[-1]))
+        )
     out_ref[0, :, :] = feat
 
 
@@ -180,6 +188,11 @@ class PallasFeaturizer(DeviceFeaturizer):
         f_core = self.num_cep if mfcc else (
             self.nfilt + (1 if logfbank_energy else 0)
         )
+        # lane-pad the output block to a full 128-lane tile (sub-tile
+        # stores mask per-lane; measured 1.86 -> 1.74 ms/batch at MFCC's
+        # f_core=13).  The kernel zero-fills the dead lanes; the slice
+        # below drops them before anything downstream sees the array.
+        f_blk = -(-f_core // 128) * 128
         k_bins = self.nfft // 2 + 1
 
         kernel = functools.partial(
@@ -233,11 +246,11 @@ class PallasFeaturizer(DeviceFeaturizer):
             grid=(batch, n_tiles),
             in_specs=view_specs + const_specs,
             out_specs=pl.BlockSpec(
-                (1, _TT, f_core), lambda b, t: (b, t, 0),
+                (1, _TT, f_blk), lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (batch, t_pad, f_core), self.dtype
+                (batch, t_pad, f_blk), self.dtype
             ),
             interpret=self._interpret,
         )(
@@ -249,7 +262,7 @@ class PallasFeaturizer(DeviceFeaturizer):
             self._dct,
             self._lift[None, :],
         )
-        base = base[:, :t_out]
+        base = base[:, :t_out, :f_core]
 
         if self.kind == "fbank":
             # kernel emits log-mel; undo the log for linear fbank parity
