@@ -30,6 +30,7 @@ fetch per timing round; MIN over rounds.
 import argparse
 import functools
 import json
+import re
 import sys
 import time
 
@@ -52,15 +53,17 @@ from asr_study_tpu.utils.platform import (            # noqa: E402
 SR = 16000
 
 
-def _probe_kernel(*refs, n_parts, nfft, log_floor, stage):
+def _probe_kernel(*refs, n_parts, nfft, log_floor, stage, bb=1):
     """pallas_fbank._fbank_kernel with the chain truncated at ``stage``.
     The mfcc branch mirrors the production kernel exactly at
     stage='full_kernel' (cross-checked against PallasFeaturizer output
-    by the 'full' run's checksum being close)."""
+    by the 'full' run's checksum being close).  ``bb`` > 1 processes a
+    batch-blocked [bb, TT, ...] block per grid step (static row loop)."""
     if stage.startswith("empty_noin"):
         # no view inputs at all: pure grid + const-residency + output cost
         out_ref = refs[6]
-        out_ref[0, :, :] = jnp.zeros_like(out_ref[0, :, :])
+        for i in range(bb):
+            out_ref[i, :, :] = jnp.zeros_like(out_ref[i, :, :])
         return
     views = refs[:n_parts]
     cos_ref, sin_ref, win_ref, mel_ref, dct_ref, lift_ref = refs[
@@ -69,36 +72,39 @@ def _probe_kernel(*refs, n_parts, nfft, log_floor, stage):
     out_ref = refs[n_parts + 6]
     ncep = out_ref.shape[-1]
 
-    if stage in ("empty", "empty_al"):
-        out_ref[0, :, :] = views[0][0, :, :ncep]
-        return
-    frames = jnp.concatenate([v[0, :, :] for v in views], axis=-1)
-    frames = frames * win_ref[0, :]
-    if stage == "framing":
-        out_ref[0, :, :] = frames[:, :ncep]
-        return
-    re = _dft_dot(frames, cos_ref[...])
-    im = _dft_dot(frames, sin_ref[...])
-    if stage == "dft":
-        out_ref[0, :, :] = (re + im)[:, :ncep]
-        return
-    pspec = (re * re + im * im) * (1.0 / nfft)
-    feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    feat = jnp.log(jnp.maximum(feat, log_floor))
-    if stage == "pspec_mel":
-        out_ref[0, :, :] = feat[:, :ncep]
-        return
-    cep = jnp.dot(feat, dct_ref[...], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    cep = cep * lift_ref[0, :]
-    energy = jnp.sum(pspec, axis=-1, keepdims=True)
-    log_e = jnp.log(jnp.maximum(energy, log_floor))
-    col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
-    cep = jnp.where(col == 0, log_e, cep)
-    if cep.shape[-1] < ncep:        # *_fpad: lane-padded output block
-        cep = jnp.pad(cep, ((0, 0), (0, ncep - cep.shape[-1])))
-    out_ref[0, :, :] = cep
+    for i in range(bb):
+        if stage.startswith(("empty", "empty_al")):
+            out_ref[i, :, :] = views[0][i, :, :ncep]
+            continue
+        frames = jnp.concatenate([v[i, :, :] for v in views], axis=-1)
+        frames = frames * win_ref[0, :]
+        if stage.startswith("framing"):
+            out_ref[i, :, :] = frames[:, :ncep]
+            continue
+        re = _dft_dot(frames, cos_ref[...])
+        im = _dft_dot(frames, sin_ref[...])
+        if stage.startswith("dft"):
+            out_ref[i, :, :] = (re + im)[:, :ncep]
+            continue
+        pspec = (re * re + im * im) * (1.0 / nfft)
+        feat = jnp.dot(pspec, mel_ref[...],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        feat = jnp.log(jnp.maximum(feat, log_floor))
+        if stage.startswith("pspec_mel"):
+            out_ref[i, :, :] = feat[:, :ncep]
+            continue
+        cep = jnp.dot(feat, dct_ref[...],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        cep = cep * lift_ref[0, :]
+        energy = jnp.sum(pspec, axis=-1, keepdims=True)
+        log_e = jnp.log(jnp.maximum(energy, log_floor))
+        col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
+        cep = jnp.where(col == 0, log_e, cep)
+        if cep.shape[-1] < ncep:    # *_fpad: lane-padded output block
+            cep = jnp.pad(cep, ((0, 0), (0, ncep - cep.shape[-1])))
+        out_ref[i, :, :] = cep
 
 
 def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
@@ -107,7 +113,10 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
     line so only the in-kernel chain differs between stages."""
 
     def _transform(wavs, wav_lengths):
+        m = re.search(r"_b(\d+)$", stage)
+        bb = int(m.group(1)) if m else 1
         batch, _ = wavs.shape
+        assert batch % bb == 0, (batch, bb)
         wavs = wavs.astype(f.dtype)
         wav_lengths = wav_lengths.astype(jnp.int32)
         pre, t_out, feat_lengths = f._prep(wavs, wav_lengths)
@@ -155,16 +164,18 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
         k_bins = f.nfft // 2 + 1
         kernel = functools.partial(
             _probe_kernel, n_parts=n_parts, nfft=f.nfft,
-            log_floor=f.log_floor, stage=stage,
+            log_floor=f.log_floor, stage=stage, bb=bb,
         )
         view_specs = [
-            pl.BlockSpec((1, _TT, hop_blk), lambda b, t: (b, t, 0),
+            pl.BlockSpec((bb, _TT, hop_blk), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_parts)
         ]
         if stage.startswith("empty_noin"):
             views, view_specs = [], []
-        f_out = 128 if stage.endswith("_fpad") else f.num_cep
+        f_out = (128 if ("_fpad" in stage or bb > 1 or
+                         stage.startswith("empty_noin"))
+                 else f.num_cep)
         const_specs = [
             pl.BlockSpec((l_pad, k_bins), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -181,9 +192,9 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
         ]
         base = pl.pallas_call(
             kernel,
-            grid=(batch, n_tiles),
+            grid=(batch // bb, n_tiles),
             in_specs=view_specs + const_specs,
-            out_specs=pl.BlockSpec((1, _TT, f_out),
+            out_specs=pl.BlockSpec((bb, _TT, f_out),
                                    lambda b, t: (b, t, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch, t_pad, f_out),
