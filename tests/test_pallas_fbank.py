@@ -106,3 +106,21 @@ def test_pallas_matches_numpy_oracle():
         got = np.asarray(feats)[i, :nf]
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.15)
         assert np.median(np.abs(got - want)) < 1e-3
+
+
+@pytest.mark.parametrize("nfilt", [128, 130])
+def test_pallas_output_block_padding_edges(nfilt):
+    """The kernel lane-pads its output block to a multiple of 128; cover
+    the exact-tile (f_core==128) and beyond-one-tile (130 -> 256) edges of
+    that padding against the XLA path."""
+    wavs, lengths = _rand_wavs(batch=2, n=7000)
+    kw = dict(kind="logfbank", nfilt=nfilt, d=False, dd=False)
+    xla = DeviceFeaturizer(**kw)
+    pal = PallasFeaturizer(interpret=True, **kw)
+    f_x, l_x = xla(wavs, lengths)
+    f_p, l_p = pal(wavs, lengths)
+    assert f_p.shape == f_x.shape == (2, f_x.shape[1], nfilt)
+    np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_p))
+    np.testing.assert_allclose(
+        np.asarray(f_p), np.asarray(f_x), rtol=1e-4, atol=1e-4
+    )
