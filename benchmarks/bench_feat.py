@@ -162,6 +162,17 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
             win = jnp.zeros((l_al,), win.dtype).at[alive].set(win)
             l_pad = l_al
         k_bins = f.nfft // 2 + 1
+        mel = f._fbank
+        if "_kpad" in stage:
+            # lane-pad the INTERNAL spectral dim: K=257 (2 tiles + 1 lane)
+            # makes every elementwise op on re/im/pspec mask its last
+            # partial vreg; zero DFT columns + zero mel rows keep the
+            # math bit-exact (dead bins contribute 0 to mel and energy)
+            k_pad = -(-k_bins // 128) * 128
+            cos = jnp.pad(cos, ((0, 0), (0, k_pad - k_bins)))
+            sin = jnp.pad(sin, ((0, 0), (0, k_pad - k_bins)))
+            mel = jnp.pad(mel, ((0, k_pad - k_bins), (0, 0)))
+            k_bins = k_pad
         kernel = functools.partial(
             _probe_kernel, n_parts=n_parts, nfft=f.nfft,
             log_floor=f.log_floor, stage=stage, bb=bb,
@@ -200,7 +211,7 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((batch, t_pad, f_out),
                                            f.dtype),
             interpret=interpret,
-        )(*views, cos, sin, win[None, :], f._fbank, f._dct,
+        )(*views, cos, sin, win[None, :], mel, f._dct,
           f._lift[None, :])
         # *_fpad pays its un-pad slice here, inside the timed region
         return base[:, :t_out, : f.num_cep], feat_lengths
