@@ -11,6 +11,7 @@ file variants, nested dirs) since layouts drift between corpus versions.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import re
 from typing import Dict, Iterator
@@ -280,8 +281,7 @@ class SynthWords(DatasetParser):
     _CHAR_MS = 90.0
     _GAP_MS = 60.0
 
-    def _char_wave(self, ch: str, pitch: float,
-                   rng: np.random.Generator) -> np.ndarray:
+    def _char_wave(self, ch: str, pitch: float) -> np.ndarray:
         n = int(self.sr * self._CHAR_MS / 1000.0)
         idx = ord(ch) - ord("a")
         f0 = (140.0 + 34.0 * idx) * pitch
@@ -303,7 +303,7 @@ class SynthWords(DatasetParser):
         parts = [gap]
         for word in text.split():
             for ch in word:
-                parts.append(self._char_wave(ch, pitch, rng))
+                parts.append(self._char_wave(ch, pitch))
             parts.append(gap)
         sig = np.concatenate(parts)
         sig = sig / max(1.0, np.abs(sig).max() * 1.05) * gain
@@ -318,6 +318,9 @@ class SynthWords(DatasetParser):
         p /= p.sum()
         n_words = int(rng.integers(3, 9))
         return " ".join(rng.choice(self._WORDS, size=n_words, p=p))
+
+    def _manifest(self) -> dict:
+        return {"n": self.n, "seed": self.seed, "sr": self.sr}
 
     def generate(self) -> "List[dict]":
         os.makedirs(self.dataset_dir, exist_ok=True)
@@ -341,6 +344,9 @@ class SynthWords(DatasetParser):
                 "split": splits[i % len(splits)],
                 "duration": len(sig) / self.sr,
             })
+        with open(os.path.join(self.dataset_dir, "_manifest.json"),
+                  "w") as f:
+            json.dump(self._manifest(), f)
         return utts
 
     def _iter(self) -> Iterator[dict]:
@@ -348,6 +354,22 @@ class SynthWords(DatasetParser):
             f.endswith(".wav") for f in os.listdir(self.dataset_dir)
         ):
             self.generate()
+        else:
+            # an existing directory must match the constructor's corpus
+            # parameters — silently reusing wavs generated with another
+            # n/seed would make --corpus_params changes no-ops
+            mpath = os.path.join(self.dataset_dir, "_manifest.json")
+            have = None
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    have = json.load(f)
+            if have != self._manifest():
+                raise ValueError(
+                    f"SynthWords dir {self.dataset_dir!r} holds a corpus "
+                    f"generated with {have} but the parser was built with "
+                    f"{self._manifest()}; point at a fresh directory or "
+                    "match the parameters"
+                )
         files = sorted(
             f for f in os.listdir(self.dataset_dir) if f.endswith(".wav")
         )

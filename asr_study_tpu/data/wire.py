@@ -413,21 +413,29 @@ def probe_link(size_mb: float = 4.0) -> float:
     on a tunnelled link) doesn't masquerade as bandwidth.  This is a
     SELECTION probe (dpack vs pcm16 in ``choose_codec``), not a
     benchmark: it only needs to order "network link" (~tens of MB/s)
-    vs "locally attached" (GB/s), so one round suffices.
+    vs "locally attached" (GB/s).  Each size takes the MIN over a few
+    round trips — a single congestion spike on either measurement could
+    otherwise make dt <= 0 and missteer the selection toward pcm16 on
+    the very links where dpack matters most.
     """
     import time
 
-    def rt(n_bytes: int) -> float:
+    def rt(n_bytes: int, rounds: int = 3) -> float:
         buf = np.zeros(n_bytes // 2, np.int16)
-        t0 = time.perf_counter()
-        dev = jax.device_put(buf)
-        np.asarray(dev[:1])          # fetch: the only reliable sync
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            np.asarray(dev[:1])      # fetch: the only reliable sync
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     small = 1 << 16
     large = max(int(size_mb * 2**20), 4 * small)
-    rt(small)                        # warm dispatch path
+    rt(small, rounds=1)              # warm dispatch path
     dt = rt(large) - rt(small)
+    if dt <= 0:                      # noise won anyway: one more attempt
+        dt = rt(large) - rt(small)
     if dt <= 0:                      # below timer/setup resolution
         return float("inf")
     return (large - small) / dt / 2**20
@@ -454,11 +462,13 @@ _DPACK_BACKENDS = ("auto", "xla", "pallas")
 
 def dpack_unpack(
     flat: jax.Array, batch: int, n_pad: int, scap: int,
-    backend: str | None = None,
+    backend: str | None = None, g: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """dpack wire -> (float32 [batch, n_pad] padded wavs, lengths).
 
     Jittable; batch/n_pad/scap static.  Bit-identical to the pcm16 path.
+    ``g`` threads through to the Pallas kernel's blocks-per-grid-step
+    (benchmark tuning knob; default = the kernel's _G).
 
     ``backend``: 'xla' | 'pallas' | 'auto' (default, from
     ASR_DPACK_BACKEND).  'auto' takes the Pallas decode kernel
@@ -506,7 +516,7 @@ def dpack_unpack(
 
             samples = pallas_dpack.dpack_decode(
                 flat[hdr + nbcap:], (csum - widths).astype(jnp.int32),
-                widths, scap, interpret=not on_tpu,
+                widths, scap, g=g, interpret=not on_tpu,
             )
     if samples is None:
         word_off = (hdr + nbcap + _DPACK_GPB * (csum - widths)).astype(

@@ -155,6 +155,7 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
 
 def dpack_decode(payload: jax.Array, row_start: jax.Array,
                  widths: jax.Array, scap: int, *,
+                 g: int | None = None,
                  interpret: bool = False) -> jax.Array:
     """Decode a dpack payload region to float32 samples (k / 32768).
 
@@ -162,13 +163,15 @@ def dpack_decode(payload: jax.Array, row_start: jax.Array,
     widths region (trailing words past the last block's payload are
     never interpreted).  ``row_start``/``widths``: int32 [scap // 4096],
     each block's first plane row (exclusive width cumsum) and bit width.
-    Returns float32 [scap] in flat sample order, bit-identical to the
-    pcm16 path's normalization.
+    ``g``: blocks decoded per grid step (default ``_G``; a tuning knob
+    for benchmarks/bench_dpack_decode.py --g).  Returns float32 [scap]
+    in flat sample order, bit-identical to the pcm16 path's
+    normalization.
     """
     if scap % _BLOCK:
         raise ValueError(f"scap must be a multiple of {_BLOCK}")
     nbcap = scap // _BLOCK
-    g = min(_G, nbcap)
+    g = min(_G if g is None else g, nbcap)
     nb_pad = -(-nbcap // g) * g
 
     # plane-row view with 16 rows of over-read room: every block's

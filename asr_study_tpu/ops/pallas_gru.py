@@ -17,12 +17,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from asr_study_tpu.ops.pallas_lstm import (
+    _CHUNK, _budget_chunk, _bwd_chunk, _mm, _pad_time, _unroll_rows,
+)
+
 _PREC = jax.lax.Precision.HIGHEST
 
 
 def _gru_gates(xp_t, h_prev, wh_ref, hidden):
-    from asr_study_tpu.ops.pallas_lstm import _mm
-
     hp = _mm(h_prev, wh_ref)
     xr = xp_t[:, 0 * hidden : 1 * hidden]
     xz = xp_t[:, 1 * hidden : 2 * hidden]
@@ -80,24 +82,16 @@ def _bwd_kernel(xp_ref, mask_ref, hprev_ref, dh_out_ref, wh_ref, wht_ref,
         dhp = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
         dxp = jnp.where(m > 0, dxp, 0.0)
         dhp = jnp.where(m > 0, dhp, 0.0)
-        from asr_study_tpu.ops.pallas_lstm import _mm
-
         dh_rec = _mm(dhp, wht_ref)
         dh_prev = dh_rec + jnp.where(m > 0, dh * z, dh)
         dxp_ref[i] = dxp
         dhp_ref[i] = dhp
         return dh_prev
 
-    from asr_study_tpu.ops.pallas_lstm import _unroll_rows
-
     dh_scr[...] = _unroll_rows(chunk, body, dh_scr[...])
 
 
 def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
-    from asr_study_tpu.ops.pallas_lstm import (
-        _CHUNK, _budget_chunk, _pad_time,
-    )
-
     t_steps, batch, gh = xp.shape
     chunk = _budget_chunk(_CHUNK, t_steps, batch * (gh + hidden) * 4)
     t_pad = -(-t_steps // chunk) * chunk
@@ -124,8 +118,6 @@ def _fwd_call(xp, mask, wh, hidden: int, interpret: bool):
 
 
 def _bwd_call(xp, mask, h_seq, dh_out, wh, hidden: int, interpret: bool):
-    from asr_study_tpu.ops.pallas_lstm import _bwd_chunk, _pad_time
-
     t_steps, batch, gh = xp.shape
     t_pad = h_seq.shape[0]
     # streamed per frame: xp+dxp+dhp [B, 3H] + hprev/dh_out [B, H]

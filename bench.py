@@ -43,6 +43,14 @@ Methodology:
   builder and driver runs where median does not.
 - Timing is fetch-based: on this backend ``block_until_ready`` is a no-op,
   so every round materializes the decoded outputs on the host.
+- Output protocol (r5, after r4's null scoreboard): a PROVISIONAL result
+  line (``"provisional": true``, flushed) is printed as soon as the first
+  measured round exists, re-printed whenever a better congestion window
+  improves the global min, and the final line at exit drops the flag.
+  The driver parses the LAST JSON line, so a process timeout at ANY
+  point still scores the best window seen.  All patience (congestion
+  sleeps, outage re-execs) is bounded by ASR_BENCH_DEADLINE_MIN
+  (default 20 min of total process wall, compile included).
 """
 
 import json
@@ -77,6 +85,27 @@ if SMOKE:
     from asr_study_tpu.utils.platform import select_platform
 
     select_platform("cpu")
+
+
+def _start_ts() -> float:
+    """Process-tree start time, carried across outage re-execs in the
+    environment so the deadline below measures TOTAL wall (compile and
+    every retry included), exactly like the driver's process timeout."""
+    ts = os.environ.get("ASR_BENCH_START_TS")
+    if not ts:
+        ts = repr(time.time())
+        os.environ["ASR_BENCH_START_TS"] = ts
+    return float(ts)
+
+
+def _deadline() -> float:
+    """Absolute wall deadline for the whole run (r4 post-mortem: the
+    congestion patience overran the driver's process timeout and the
+    round scored null).  Default 20 min of total process wall; raise
+    ASR_BENCH_DEADLINE_MIN for manual long ride-outs."""
+    return _start_ts() + 60.0 * float(
+        os.environ.get("ASR_BENCH_DEADLINE_MIN", "20")
+    )
 
 SR = 16000
 # Wire encoding for the H2D audio transfer (data/wire.py): dpack (default
@@ -368,22 +397,84 @@ def main() -> int:
 
     walls = []
     onchip_s = None
+    sets_done = 0
+    t_frames = int(
+        np.ceil((n_pad - featurizer.frame_len) / featurizer.frame_step)
+    ) + 1
+    fl_batch = pipeline_flops(featurizer, t_frames, featurizer.num_feats)
+    emitted_wall = [float("inf")]
+
+    def emit(provisional: bool) -> None:
+        """Print the result line for the CURRENT best measurement,
+        flush=True.  Provisional lines stream out as soon as any
+        measurement exists and again whenever the global min improves —
+        the driver parses the LAST JSON line on stdout, so a process
+        killed at any point (mid-sleep, mid-compile of the on-chip
+        program, mid-outage) still leaves a self-diagnosing number
+        carrying its own link_mb_s instead of r4's null.  The final line
+        at exit drops the "provisional" key."""
+        wall = min(walls)
+        emitted_wall[0] = wall
+        rtf = total_audio / wall
+        have_chip = onchip_s is not None
+        mfu = fl_batch / onchip_s / _peak_flops() if have_chip else None
+        print(json.dumps({
+            "metric": "rtf_feature_blstm_greedy_lapsbm_like",
+            "value": round(rtf, 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(rtf / TARGET_RTF, 3),
+            "featurizer": feat_kind,
+            "flops_per_batch": round(fl_batch),
+            "mfu_pct": round(100 * mfu, 2) if have_chip else None,
+            "onchip_ms_per_batch":
+                round(onchip_s * 1e3, 2) if have_chip else None,
+            "rtf_onchip":
+                round(total_audio / (onchip_s * N_BATCHES), 2)
+                if have_chip else None,
+            "wall_s_min": round(wall, 4),
+            "wall_s_median": round(float(np.median(walls)), 4),
+            "wall_floor_model_s": round(floor_s, 4),
+            "link_mb_s": round(wire_bytes / wall / 1e6, 1),
+            "retry_sets": sets_done,
+            "rounds": ROUNDS,
+            "batches_in_flight": N_BATCHES,
+            "wire_codec": WIRE_CODEC,
+            "wire_mb": round(wire_bytes / 1e6, 2),
+            "wire_chunks": len(chunks),
+            "elapsed_s": round(time.time() - _start_ts(), 1),
+            **({"provisional": True} if provisional else {}),
+            **({"smoke": True} if SMOKE else {}),
+        }), flush=True)
+        os.environ["ASR_BENCH_EMITTED"] = "1"  # outage path checks this
+
+    # One probe round immediately after compile: a parseable provisional
+    # line reaches stdout within seconds of warmup, before ANY patience
+    # logic can spend time (r4's run printed nothing for its whole life).
+    t0 = time.perf_counter()
+    fetch(run_round())
+    walls.append(time.perf_counter() - t0)
+    emit(provisional=True)
+
     # Escalating waits: congestion windows persist for MINUTES to HOURS,
     # not tens of seconds (2026-08-17 saw 2.6x-floor walls across runs
     # minutes apart; r3's official driver capture landed entirely inside
     # a ~48 MB/s window and recorded 1692x where the same build measures
     # 2566x clean — the scoreboard regressed while the repo improved).
-    # r4 therefore sizes the patience for the windows actually observed:
-    # ~36 min total across 14 sets (driver-bounded; a clean first window
-    # exits in ~6 s).  The trigger is 1.10x the floor model — a clean
-    # window measures 1.0-1.05x it (0.641 s vs 0.652 modeled), while even
-    # mild congestion lands 1.15x+ (0.776/0.852 s observed r3); accepting
-    # a 1.15x wall forfeits ~20% of the headline, and the marginal cost
-    # of more patience is bounded sleep.  ASR_BENCH_PATIENCE_MIN trims it.
-    # (smoke mode: CPU walls sit far above the wire-floor model by
-    # construction, so the congestion retry must not fire there)
+    # The trigger is 1.10x the floor model — a clean window measures
+    # 1.0-1.05x it (0.641 s vs 0.652 modeled), while even mild congestion
+    # lands 1.15x+ (0.776/0.852 s observed r3).  Patience is bounded TWICE:
+    # by ASR_BENCH_PATIENCE_MIN of sleep and, strictly, by the process-wall
+    # deadline (_deadline) — r4's 36-min schedule ignored the driver's
+    # process timeout and converted a measurable 14.5 MB/s window into a
+    # null scoreboard entry.  (smoke mode: CPU walls sit far above the
+    # wire-floor model by construction, so the congestion retry must not
+    # fire there — unless a test forces a shrunken schedule on via
+    # ASR_BENCH_SMOKE_PATIENCE_S to exercise this loop.)
     if SMOKE:
-        sleeps = (0.0,)
+        smoke_patience = float(
+            os.environ.get("ASR_BENCH_SMOKE_PATIENCE_S", "0")
+        )
+        sleeps = (smoke_patience,) * 2 + (0.0,) if smoke_patience else (0.0,)
     else:
         budget = 60.0 * float(os.environ.get("ASR_BENCH_PATIENCE_MIN", "36"))
         plan = (10.0, 30.0, 60.0, 120.0) + (180.0,) * 40
@@ -399,46 +490,48 @@ def main() -> int:
             t0 = time.perf_counter()
             fetch(run_round())
             walls.append(time.perf_counter() - t0)
-        if min(walls) < 1.10 * floor_s or not sleep_s:
+        sets_done += 1
+        if min(walls) < emitted_wall[0]:
+            emit(provisional=True)  # better window found: update stdout
+        # ASR_BENCH_FORCE_CONGESTED: test knob — treat every window as
+        # congested so the suite can exercise the patience/deadline path
+        # (a smoke run's CPU walls can land on either side of the floor).
+        clean = min(walls) < 1.10 * floor_s and not os.environ.get(
+            "ASR_BENCH_FORCE_CONGESTED"
+        )
+        if clean or not sleep_s:
             break
+        # Deadline gate: keep enough budget for one more round set plus
+        # the final emit; never start a sleep the process cannot afford.
+        set_cost = sum(walls[-ROUNDS:])
+        margin = max(60.0, 2.0 * set_cost)
+        budget_left = _deadline() - time.time()
+        if budget_left < margin:
+            break  # out of wall budget — ship the best window seen
+        sleep_s = min(sleep_s, budget_left - margin)
+        if os.environ.get("ASR_BENCH_ABORT_BEFORE_SLEEP"):
+            # test hook: simulate the driver killing the process the
+            # moment the first congestion wait begins (the r4 failure
+            # mode).  os._exit skips atexit/flush — the provisional
+            # lines above must already be flushed bytes on stdout.
+            os._exit(86)
         gap0 = time.perf_counter()
         if onchip_s is None:
             onchip_s = measure_onchip()  # productive use of the gap
+            emit(provisional=True)  # fills the on-chip/MFU fields
         remaining = sleep_s - (time.perf_counter() - gap0)
         if remaining > 0:
             time.sleep(remaining)
-    wall = min(walls)
-    rtf = total_audio / wall
-    if onchip_s is None:
-        onchip_s = measure_onchip()
-
-    t_frames = int(
-        np.ceil((n_pad - featurizer.frame_len) / featurizer.frame_step)
-    ) + 1
-    fl_batch = pipeline_flops(featurizer, t_frames, featurizer.num_feats)
-    mfu = fl_batch / onchip_s / _peak_flops()
-    print(json.dumps({
-        "metric": "rtf_feature_blstm_greedy_lapsbm_like",
-        "value": round(rtf, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / TARGET_RTF, 3),
-        "featurizer": feat_kind,
-        "flops_per_batch": round(fl_batch),
-        "mfu_pct": round(100 * mfu, 2),
-        "onchip_ms_per_batch": round(onchip_s * 1e3, 2),
-        "rtf_onchip": round(total_audio / (onchip_s * N_BATCHES), 2),
-        "wall_s_min": round(wall, 4),
-        "wall_s_median": round(float(np.median(walls)), 4),
-        "wall_floor_model_s": round(floor_s, 4),
-        "link_mb_s": round(wire_bytes / wall / 1e6, 1),
-        "retry_sets": len(walls) // ROUNDS,
-        "rounds": ROUNDS,
-        "batches_in_flight": N_BATCHES,
-        "wire_codec": WIRE_CODEC,
-        "wire_mb": round(wire_bytes / 1e6, 2),
-        "wire_chunks": len(chunks),
-        **({"smoke": True} if SMOKE else {}),
-    }))
+    if onchip_s is None and _deadline() - time.time() > 60.0:
+        # On-chip measurement is reporting detail, not the headline —
+        # only attempt it (first compile of chip_loop can take minutes
+        # on a cold cache) when the deadline leaves room; a provisional
+        # line with null on-chip fields is already on stdout either way.
+        try:
+            onchip_s = measure_onchip()
+        except Exception as e:
+            print(f"on-chip measurement failed: {e}", file=sys.stderr)
+    emit(provisional=False)
     return 0
 
 
@@ -453,20 +546,37 @@ _WEDGE_SIGNS = (
 )
 
 
+def _emit_outage_line(e: BaseException) -> None:
+    """Last-resort JSON: the backend outage outlasted the wall budget and
+    no measurement exists.  A value-0 line with an ``error`` field is a
+    diagnosable scoreboard entry; silence is a null (r4).  Never emitted
+    if any real (even provisional) line already went out — the driver
+    takes the LAST line, and a real number must win."""
+    if os.environ.get("ASR_BENCH_EMITTED"):
+        return
+    print(json.dumps({
+        "metric": "rtf_feature_blstm_greedy_lapsbm_like",
+        "value": 0.0,
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": 0.0,
+        "error": f"tpu_backend_unavailable: {str(e)[:200]}",
+        "elapsed_s": round(time.time() - _start_ts(), 1),
+    }), flush=True)
+
+
 def _sleep_and_reexec(e: BaseException) -> None:
     """Sleep and RE-EXEC this script (fresh process -> fresh backend init),
-    bounded by a retry counter carried in the environment.  No processes
-    are killed — killing TPU processes is what causes these wedges in the
-    first place (CLAUDE.md)."""
-    import time
-
+    bounded by a retry counter carried in the environment AND by the
+    process-wall deadline (each failed init burns ~25 min inside the
+    plugin before erroring — under the default 20-min deadline that means
+    no re-execs; raise ASR_BENCH_DEADLINE_MIN to ~300 for a manual
+    outage ride-out like 2026-08-17's >4.5 h).  No processes are killed —
+    killing TPU processes is what causes these wedges in the first place
+    (CLAUDE.md)."""
     n = int(os.environ.get("ASR_BENCH_TPU_RETRY", "0"))
-    # Each failed init burns ~25 min inside the plugin before erroring, so
-    # 10 retries ≈ 4.5 h of patience — chosen to outlast the LONGEST
-    # observed backend outage (2026-08-17: >4.5 h; 2026-08-18: >3 h).  A
-    # slow bench beats an absent one; set ASR_BENCH_TPU_RETRIES to trim.
     max_n = int(os.environ.get("ASR_BENCH_TPU_RETRIES", "10"))
-    if n >= max_n:
+    if n >= max_n or time.time() + 120.0 > _deadline():
+        _emit_outage_line(e)
         raise e
     print(
         f"TPU backend unavailable ({e}); retry {n + 1}/{max_n} in 120 s",
@@ -494,6 +604,7 @@ def _survive_tpu_outage():
 
 
 if __name__ == "__main__":
+    _start_ts()  # pin the wall clock before any backend init can burn it
     _survive_tpu_outage()
     try:
         sys.exit(main())

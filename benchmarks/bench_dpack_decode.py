@@ -61,13 +61,10 @@ def main() -> int:
                     help="subset of modes (one per run keeps remote "
                          "compiles short)")
     ap.add_argument("--g", type=int, default=0,
-                    help="override ops/pallas_dpack._G (blocks per grid "
-                         "step) for the dpack_pallas mode — tuning probe")
+                    help="blocks per grid step for the dpack_pallas mode "
+                         "(threaded through dpack_unpack; 0 = kernel "
+                         "default _G) — tuning probe")
     args = ap.parse_args()
-    if args.g:
-        from asr_study_tpu.ops import pallas_dpack
-
-        pallas_dpack._G = args.g
     if args.platform:
         from asr_study_tpu.utils.platform import select_platform
 
@@ -122,8 +119,9 @@ def main() -> int:
                       lambda f: wire.dpack_unpack(f, batch, n_pad, scap,
                                                   "xla")),
         "dpack_pallas": ("dpack (pallas)", d_stack,
-                         lambda f: wire.dpack_unpack(f, batch, n_pad,
-                                                     scap, "pallas")),
+                         lambda f: wire.dpack_unpack(
+                             f, batch, n_pad, scap, "pallas",
+                             g=args.g or None)),
     }
     res = {m: timed(*runs[m]) for m in args.modes}
     # decoded output parity across the requested paths (bit-exact)

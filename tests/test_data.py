@@ -141,6 +141,15 @@ def test_synthwords_structured_corpus(tmp_path):
     d3 = SynthWords(str(tmp_path / "synth3"), n=20, seed=4)
     assert [u["label"] for u in d3.iter_utterances()] != \
         [u["label"] for u in utts]
+    # reusing a generated directory with DIFFERENT corpus params must be
+    # loud, not a silent reuse of the old corpus (ADVICE r4)
+    with pytest.raises(ValueError, match="manifest|generated with"):
+        list(SynthWords(str(tmp_path / "synth"), n=40, seed=3)
+             .iter_utterances())
+    # ... while matching params reuse the directory fine
+    again = list(SynthWords(str(tmp_path / "synth"), n=20, seed=3)
+                 .iter_utterances())
+    assert [u["audio"] for u in again] == [u["audio"] for u in utts]
 
 
 # -- serialization -----------------------------------------------------------
