@@ -86,10 +86,40 @@ def _probe_kernel(*refs, n_parts, nfft, log_floor, stage, bb=1):
         if stage.startswith("dft"):
             out_ref[i, :, :] = (re + im)[:, :ncep]
             continue
+        if stage.startswith("fold"):
+            # ATTACK variant (r5): 1/nfft folded into the mel table
+            # (exact: nfft is a power of two) and the energy column rides
+            # the same matmul as an appended all-(1/nfft) mel column — no
+            # [TT, K] scale pass, no [TT, K] sum reduction.
+            pspec = re * re + im * im
+            both = jnp.dot(pspec, mel_ref[...],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            nfilt = both.shape[-1] - 1
+            feat = jnp.log(jnp.maximum(both[:, :nfilt], log_floor))
+            log_e = jnp.log(
+                jnp.maximum(both[:, nfilt: nfilt + 1], log_floor)
+            )
+            cep = jnp.dot(feat, dct_ref[...],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            cep = cep * lift_ref[0, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
+            cep = jnp.where(col == 0, log_e, cep)
+            if cep.shape[-1] < ncep:
+                cep = jnp.pad(cep, ((0, 0), (0, ncep - cep.shape[-1])))
+            out_ref[i, :, :] = cep
+            continue
         pspec = (re * re + im * im) * (1.0 / nfft)
+        if stage.startswith("ps_only"):
+            out_ref[i, :, :] = pspec[:, :ncep]
+            continue
         feat = jnp.dot(pspec, mel_ref[...],
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+        if stage.startswith("ps_melmm"):        # mel matmul, no log
+            out_ref[i, :, :] = feat[:, :ncep]
+            continue
         feat = jnp.log(jnp.maximum(feat, log_floor))
         if stage.startswith("pspec_mel"):
             out_ref[i, :, :] = feat[:, :ncep]
@@ -163,6 +193,12 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
             l_pad = l_al
         k_bins = f.nfft // 2 + 1
         mel = f._fbank
+        if stage.startswith("fold"):
+            # scale fold is EXACT (1/nfft is a power of two); the energy
+            # column makes the sum ride the MXU instead of the VPU
+            mel = jnp.concatenate(
+                [mel, jnp.ones((mel.shape[0], 1), mel.dtype)], axis=1
+            ) * (1.0 / f.nfft)
         if "_kpad" in stage:
             # lane-pad the INTERNAL spectral dim: K=257 (2 tiles + 1 lane)
             # makes every elementwise op on re/im/pspec mask its last
@@ -194,7 +230,7 @@ def probe_transform(f: PallasFeaturizer, stage: str, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_pad), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_bins, f.nfilt), lambda b, t: (0, 0),
+            pl.BlockSpec((k_bins, mel.shape[1]), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f.nfilt, f.num_cep), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -230,7 +266,11 @@ def main() -> int:
         default=["empty", "framing", "dft", "pspec_mel", "full_kernel",
                  "full"],
         help="also: empty_noin (no view inputs: grid+const+output cost), "
-             "empty_al / full_al (lane-aligned hop rows, 160->256)",
+             "empty_al / full_al (lane-aligned hop rows, 160->256), "
+             "ps_only / ps_melmm (finer cuts of the pspec->mel->log "
+             "chain), fold_fpad (ATTACK: 1/nfft folded into the mel "
+             "table + energy as an appended mel column — compare vs "
+             "full_kernel_fpad)",
     )
     args = ap.parse_args()
     if args.platform:

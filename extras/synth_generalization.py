@@ -56,6 +56,15 @@ def val_trajectory(run):
     return [float(r["val_ler"]) for r in rows]
 
 
+def median_steps_per_s(run):
+    path = os.path.join(run, "train_metrics.csv")
+    vals = sorted(
+        float(r["steps_per_s"]) for r in csv.DictReader(open(path))
+        if r.get("steps_per_s")
+    )
+    return vals[len(vals) // 2] if vals else None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
@@ -119,7 +128,9 @@ def main(argv=None) -> int:
         assert rc == 0
 
     out = {"n": args.n, "epochs": args.epochs, "beam": args.beam,
-           "lm_order": args.lm_order, "lm_alpha": args.lm_alpha}
+           "lm_order": args.lm_order, "lm_alpha": args.lm_alpha,
+           "params": args.params,
+           "train_steps_per_s_median": median_steps_per_s(runs["base"])}
     traj = val_trajectory(runs["base"])
     out["val_ler_trajectory_first_mid_last"] = [
         round(traj[0], 4), round(traj[len(traj) // 2], 4),
