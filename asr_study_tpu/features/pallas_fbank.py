@@ -57,6 +57,34 @@ _FEAT_MM_PRECISION = choice_env(
     "ASR_FEAT_MM_PRECISION", "highest", ("highest", "high", "default")
 )
 
+# Mel-projection precision (r5).  The r5 probe ladder found the mel
+# matmul carries ~0.5 ms of the kernel's 1.8 (issue/dependency-bound:
+# 1-pass bf16 and 3-pass hi/lo both land ~1.73-1.74 vs HIGHEST's 1.84,
+# so only ~0.1 ms is precision-reducible — BENCHMARKS.md r5 ladder).
+# Unlike the DFT dots, pspec and the mel weights are both NONNEGATIVE:
+# the dot has no cancellation, and the hi/lo split's measured log-domain
+# error is 1.5e-5 on speech-like inputs (vs the DFT "high" tier's
+# 1.3e-3) — inside the 1e-4 default-build contract, so "high" is the
+# default here.  Set ASR_FEAT_MEL_PRECISION=highest for f32-exact.
+_FEAT_MEL_PRECISION = choice_env(
+    "ASR_FEAT_MEL_PRECISION", "high", ("highest", "high")
+)
+
+
+def _mel_dot(x, w):
+    """Nonnegative-data matmul at the configured mel precision."""
+    if _FEAT_MEL_PRECISION == "highest":
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    return acc
+
 
 def _dft_dot(x, w):
     """f32 matmul with f32 accumulation at the configured MXU precision."""
@@ -103,8 +131,7 @@ def _fbank_kernel(
     im = _dft_dot(frames, sin_ref[...])
     pspec = (re * re + im * im) * (1.0 / nfft)   # [TT, K]
 
-    feat = jnp.dot(pspec, mel_ref[...], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    feat = _mel_dot(pspec, mel_ref[...])
     feat = jnp.log(jnp.maximum(feat, log_floor))
     if mfcc:
         cep = jnp.dot(feat, dct_ref[...], preferred_element_type=jnp.float32,

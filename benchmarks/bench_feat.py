@@ -114,6 +114,31 @@ def _probe_kernel(*refs, n_parts, nfft, log_floor, stage, bb=1):
         if stage.startswith("ps_only"):
             out_ref[i, :, :] = pspec[:, :ncep]
             continue
+        if stage.startswith("ps_melhl"):
+            # ATTACK: 3-pass hi/lo error-compensated mel matmul (vs
+            # HIGHEST's 6 passes).  Unlike the DFT dots — where hi/lo
+            # error is amplified by near-silent mel channels — pspec and
+            # the mel weights are both NONNEGATIVE, so the dot has no
+            # cancellation and the relative error stays ~2^-17.
+            x_hi = pspec.astype(jnp.bfloat16)
+            x_lo = (pspec - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            w = mel_ref[...]
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            feat = jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
+            feat += jnp.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
+            feat += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+            feat = jnp.log(jnp.maximum(feat, log_floor))
+            out_ref[i, :, :] = feat[:, :ncep]
+            continue
+        if stage.startswith("ps_meldef"):
+            # bound: raw 1-pass bf16 mel matmul (NOT parity-safe)
+            feat = jnp.dot(pspec, mel_ref[...],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+            feat = jnp.log(jnp.maximum(feat, log_floor))
+            out_ref[i, :, :] = feat[:, :ncep]
+            continue
         feat = jnp.dot(pspec, mel_ref[...],
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)

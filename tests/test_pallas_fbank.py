@@ -95,6 +95,30 @@ def test_dft_precision_knob(monkeypatch, mode, tol):
     )
 
 
+def test_mel_precision_knob(monkeypatch):
+    """ASR_FEAT_MEL_PRECISION: the default 'high' (3-pass hi/lo mel dot)
+    must stay within the 1e-4 default-build band of 'highest' — the mel
+    inputs/weights are nonnegative, so the hi/lo split has no
+    cancellation path (measured 1.5e-5 log-domain on speech-like
+    signals; this random-noise case is the same order)."""
+    import asr_study_tpu.features.pallas_fbank as pf
+
+    wavs, lengths = _rand_wavs(batch=2, n=7000)
+    kw = dict(log_floor=1e-2, d=False, dd=False)
+    monkeypatch.setattr(pf, "_FEAT_MEL_PRECISION", "highest")
+    want, _ = PallasFeaturizer(kind="mfcc", interpret=True, **kw)(
+        wavs, lengths
+    )
+    monkeypatch.setattr(pf, "_FEAT_MEL_PRECISION", "high")
+    got, _ = PallasFeaturizer(kind="mfcc", interpret=True, **kw)(
+        wavs, lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-5
+
+
 def test_pallas_matches_numpy_oracle():
     wavs, lengths = _rand_wavs(batch=2, n=7000)
     pal = PallasFeaturizer(kind="mfcc", interpret=True)
