@@ -5,11 +5,14 @@ half of it an 89-step assembly scan whose only job is moving each
 block's variable-offset payload window into a dense [nbcap, 16, 256]
 tensor, the rest a 16-pass HBM-materialized plane expansion plus a
 log-step cumsum over the whole sample stream.  All three collapse into
-ONE kernel here: each block's plane rows are DMA'd straight from the
-payload's HBM residence into VMEM (the dynamic offset rides the DMA
-descriptor, not an XLA slice), the bit-plane expansion happens on
-VMEM-resident [16, 256] tiles, and the delta reconstruction is a
-lane-wise Hillis-Steele cumsum + 16 static row prefixes with the
+ONE kernel here: each grid step's g blocks occupy a CONTIGUOUS payload
+row range (row_start is the width cumsum), so ONE DMA descriptor per
+step moves them from the payload's HBM residence into VMEM (the dynamic
+offset rides the descriptor, not an XLA slice; r5 — the earlier
+per-block descriptors cost ~1.5 µs EACH in issue overhead, 757/batch),
+the bit-plane expansion happens on VMEM-resident [16, 256] tiles sliced
+at each block's dynamic in-step offset, and the delta reconstruction is
+a lane-wise Hillis-Steele cumsum + a sublane-scan row prefix with the
 running carry held in SMEM across the (sequential) grid.  Nothing but
 the payload is read from HBM and nothing but the samples is written.
 
@@ -54,21 +57,32 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
             g: int, nsteps: int, interpret: bool):
     j = pl.program_id(0)
     slot = jax.lax.rem(j, 2)
+    rows_cap = g * _GROUP + _GROUP
 
     # Cross-step double buffering: the grid is SEQUENTIAL (the sample
     # carry chains through SMEM), so without prefetch every step stalls
-    # on its first block's plane copy.  Step j issues step j+1's g
-    # copies into the other scratch slot before doing its own compute;
-    # step 0 issues its own first.  Each copy is 16 plane rows from the
-    # block's dynamic payload offset (over-reading into the next
-    # block's rows when width < 16 — masked off below).
+    # on its plane copy.  Step j issues step j+1's copy into the other
+    # scratch slot before doing its own compute; step 0 issues its own
+    # first.
+    #
+    # ONE contiguous copy per step (r5): the step's g blocks occupy a
+    # contiguous payload row range (row_start is the width cumsum), so a
+    # single rows_cap-row descriptor replaces g per-block copies.  The r5
+    # stub probe measured the old per-block form's DMA floor at ~1.5 µs
+    # PER DESCRIPTOR (757/batch — issue cost, not bandwidth); the single
+    # copy is a bit-identical 1.66 -> 1.11 ms/batch win (BENCHMARKS.md).
+    # rows_cap over-reads up to 16+slack rows past the step's real widths
+    # — in bounds by construction (r_pad pads the payload by rows_cap)
+    # and masked off below.  Each block's rows are then sliced from VMEM
+    # at its dynamic in-step offset; legal because the sliced dim is the
+    # untiled leading dim (the same property the per-block descriptors
+    # relied on).
     def _issue(step, into_slot):
-        for b in range(g):
-            pltpu.make_async_copy(
-                pay_ref.at[pl.ds(rs_ref[step * g + b], _GROUP)],
-                scr.at[into_slot, b],
-                sems.at[into_slot, b],
-            ).start()
+        pltpu.make_async_copy(
+            pay_ref.at[pl.ds(rs_ref[step * g], rows_cap)],
+            scr.at[into_slot],
+            sems.at[into_slot, 0],
+        ).start()
 
     @pl.when(j == 0)
     def _():
@@ -79,13 +93,17 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
     def _():
         _issue(j + 1, 1 - slot)
 
-    def _wait(b):
+    def _wait():
         # reconstruct the descriptor (same src/dst/sem) to wait on it
         pltpu.make_async_copy(
-            pay_ref.at[pl.ds(rs_ref[j * g + b], _GROUP)],
-            scr.at[slot, b],
-            sems.at[slot, b],
+            pay_ref.at[pl.ds(rs_ref[j * g], rows_cap)],
+            scr.at[slot],
+            sems.at[slot, 0],
         ).wait()
+
+    def _rows(b):
+        off = rs_ref[j * g + b] - rs_ref[j * g]
+        return scr[slot, pl.ds(off, _GROUP), 0, :]
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 1)
@@ -96,11 +114,11 @@ def _kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
     # tile) is already lane-uniform, so no [1, 1] value ever exists.
     acc = jnp.zeros((1, _GPB), jnp.int32) + carry_ref[0, 0]
 
+    _wait()
     for b in range(g):
-        _wait(b)
         w = w_ref[j * g + b]
         # [16, 256] plane words; planes >= width are over-read garbage
-        planes = jnp.where(ii < w, scr[slot, b, :, 0, :], 0)
+        planes = jnp.where(ii < w, _rows(b), 0)
 
         # bit-plane expansion: u[i, m] = sum_p ((planes[p, m] >> i) & 1)
         # << p — each plane row broadcasts over the 16 sample rows with
@@ -174,19 +192,24 @@ def dpack_decode(payload: jax.Array, row_start: jax.Array,
     g = min(_G if g is None else g, nbcap)
     nb_pad = -(-nbcap // g) * g
 
-    # plane-row view with 16 rows of over-read room: every block's
-    # 16-row copy stays in bounds even when its width is < 16 (the last
-    # real block's rows end at most 16 rows before the pad).  int32, not
-    # int16: the per-block copy slices a size-1 middle dim, and int16's
-    # (2, 1)-packed VMEM tiling rejects size-1 second-minor slices
-    # (Mosaic: "must be aligned to tiling (2)") — int32's packing is 1.
-    # The unsigned-word conversion rides the same XLA pass.
+    # plane-row view with rows_cap rows of over-read room: every step's
+    # single rows_cap-row copy stays in bounds even when the step's
+    # total width is small.  int32, not int16: the copy slices a size-1
+    # middle dim, and int16's (2, 1)-packed VMEM tiling rejects size-1
+    # second-minor slices (Mosaic: "must be aligned to tiling (2)") —
+    # int32's packing is 1.  The unsigned-word conversion rides the same
+    # XLA pass.
+    rows_cap = g * _GROUP + _GROUP
     n_planes = -(-payload.shape[0] // _GPB)
-    r_pad = n_planes + _GROUP
+    r_pad = n_planes + rows_cap
     pay = jnp.pad(payload, (0, r_pad * _GPB - payload.shape[0]))
     pay = (pay.astype(jnp.int32) & 0xFFFF).reshape(r_pad, 1, _GPB)
 
-    rs = jnp.pad(row_start.astype(jnp.int32), (0, nb_pad - nbcap))
+    # tail blocks edge-pad row_start (NOT zero): each block's in-step
+    # VMEM offset is rs[b] - rs[step*g], which must stay >= 0 inside a
+    # partially padded final step
+    rs = jnp.pad(row_start.astype(jnp.int32), (0, nb_pad - nbcap),
+                 mode="edge")
     ws = jnp.pad(widths.astype(jnp.int32), (0, nb_pad - nbcap))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -198,9 +221,9 @@ def dpack_decode(payload: jax.Array, row_start: jax.Array,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, g, _GROUP, 1, _GPB), jnp.int32),
+            pltpu.VMEM((2, rows_cap, 1, _GPB), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, g)),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
     out = pl.pallas_call(

@@ -58,11 +58,29 @@ def _stub_kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
                  g: int, nsteps: int, interpret: bool, variant: str):
     """ops/pallas_dpack._kernel with one stage stubbed per ``variant``.
     The DMA double-buffering, grid sequencing, SMEM carry, and output
-    writes are identical to the shipped kernel."""
+    writes are identical to the shipped kernel.
+
+    ``onecopy`` is an ATTACK variant, not a stub (bit-identical compute):
+    the g blocks of one step occupy a CONTIGUOUS payload row range
+    (row_start is the width cumsum), so ONE big copy per step replaces
+    the g per-block copies — the probe showed the DMA floor is per-copy
+    issue cost (~1.5 us x 757 copies/batch), not bandwidth — and each
+    block's rows are then sliced from VMEM at its dynamic in-step offset
+    (legal: the sliced dim is the untiled leading dim, the same property
+    the per-block DMA descriptors rely on)."""
     j = pl.program_id(0)
     slot = jax.lax.rem(j, 2)
+    onecopy = variant == "onecopy"
+    rows_cap = g * _GROUP + _GROUP
 
     def _issue(step, into_slot):
+        if onecopy:
+            pltpu.make_async_copy(
+                pay_ref.at[pl.ds(rs_ref[step * g], rows_cap)],
+                scr.at[into_slot],
+                sems.at[into_slot, 0],
+            ).start()
+            return
         for b in range(g):
             pltpu.make_async_copy(
                 pay_ref.at[pl.ds(rs_ref[step * g + b], _GROUP)],
@@ -80,11 +98,25 @@ def _stub_kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
         _issue(j + 1, 1 - slot)
 
     def _wait(b):
+        if onecopy:
+            if b == 0:
+                pltpu.make_async_copy(
+                    pay_ref.at[pl.ds(rs_ref[j * g], rows_cap)],
+                    scr.at[slot],
+                    sems.at[slot, 0],
+                ).wait()
+            return
         pltpu.make_async_copy(
             pay_ref.at[pl.ds(rs_ref[j * g + b], _GROUP)],
             scr.at[slot, b],
             sems.at[slot, b],
         ).wait()
+
+    def _rows(b):
+        if onecopy:
+            off = rs_ref[j * g + b] - rs_ref[j * g]
+            return scr[slot, pl.ds(off, _GROUP), 0, :]
+        return scr[slot, b, :, 0, :]
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GPB), 1)
@@ -96,12 +128,11 @@ def _stub_kernel(rs_ref, w_ref, pay_ref, out_ref, scr, carry_ref, sems, *,
             # consume the fetched rows so the copies can't be elided;
             # no expansion, no cumsums, no carry math
             out_ref[b * _GROUP: (b + 1) * _GROUP, :] = (
-                scr[slot, b, :, 0, :].astype(jnp.float32)
-                * (1.0 / 32768.0)
+                _rows(b).astype(jnp.float32) * (1.0 / 32768.0)
             )
             continue
         w = w_ref[j * g + b]
-        planes = jnp.where(ii < w, scr[slot, b, :, 0, :], 0)
+        planes = jnp.where(ii < w, _rows(b), 0)
 
         if variant == "noexpand":
             d = (planes >> 1) ^ -(planes & 1)      # un-zigzag only
@@ -155,11 +186,14 @@ def stub_decode(payload, row_start, widths, scap, variant, interpret):
     nbcap = scap // PD._BLOCK
     g = min(PD._G, nbcap)
     nb_pad = -(-nbcap // g) * g
+    rows_cap = g * _GROUP + _GROUP
+    onecopy = variant == "onecopy"
     n_planes = -(-payload.shape[0] // _GPB)
-    r_pad = n_planes + _GROUP
+    r_pad = n_planes + (rows_cap if onecopy else _GROUP)
     pay = jnp.pad(payload, (0, r_pad * _GPB - payload.shape[0]))
     pay = (pay.astype(jnp.int32) & 0xFFFF).reshape(r_pad, 1, _GPB)
-    rs = jnp.pad(row_start.astype(jnp.int32), (0, nb_pad - nbcap))
+    rs = jnp.pad(row_start.astype(jnp.int32), (0, nb_pad - nbcap),
+                 mode="edge" if onecopy and nbcap else "constant")
     ws = jnp.pad(widths.astype(jnp.int32), (0, nb_pad - nbcap))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -170,9 +204,13 @@ def stub_decode(payload, row_start, widths, scap, variant, interpret):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, g, _GROUP, 1, _GPB), jnp.int32),
+            pltpu.VMEM(
+                (2, rows_cap, 1, _GPB) if onecopy
+                else (2, g, _GROUP, 1, _GPB),
+                jnp.int32,
+            ),
             pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, g)),
+            pltpu.SemaphoreType.DMA((2, 1) if onecopy else (2, g)),
         ],
     )
     out = pl.pallas_call(
@@ -265,6 +303,12 @@ def main() -> int:
         return ms
 
     res = {v: timed(v) for v in args.variants}
+    if "onecopy" in args.variants:
+        # onecopy is an attack, not a stub: must be bit-identical
+        a = jax.jit(lambda f: decode_with(f, "real"))(d_stack[0])
+        b = jax.jit(lambda f: decode_with(f, "onecopy"))(d_stack[0])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        print("onecopy: bit-identical to real", flush=True)
     out = {"metric": "dpack_decode_stub_probe_ms", "unit": "ms/batch",
            "scap": scap, **res}
     if "real" in res:
