@@ -143,6 +143,21 @@ def test_bench_input_runs():
 
 
 @pytest.mark.slow
+def test_bench_ctc_probe_runs_on_cpu():
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "bench_ctc_probe.py"),
+         "--platform", "cpu", "--small", "--reps", "2", "--rounds", "2"],
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "ctc_stub_probe_ms"
+    for k in ("full", "fwd", "bwd", "fwd_max3", "bwd_fused3"):
+        assert rec[k] > 0
+
+
+@pytest.mark.slow
 def test_bench_stream_runs_on_cpu():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "bench_stream.py"),
