@@ -42,6 +42,45 @@ def _brute_force_nll(log_probs, length, labels, blank):
     return -total
 
 
+class TestLogAdd3:
+    """The fused one-shot 3-way log-sum-exp (r5) vs np.logaddexp and the
+    recursions' floor conventions — it sits on every CTC critical path."""
+
+    def test_matches_numpy_logsumexp(self):
+        from asr_study_tpu.ops.ctc import _logadd3
+
+        rng = np.random.RandomState(0)
+        a, b, c = (rng.randn(64).astype(np.float32) * 20 for _ in range(3))
+        got = np.asarray(_logadd3(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(c)))
+        want = np.logaddexp(np.logaddexp(a.astype(np.float64),
+                                         b.astype(np.float64)),
+                            c.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+    def test_floor_conventions(self):
+        from asr_study_tpu.ops.ctc import LOG_EPS, _logadd3
+
+        f = jnp.float32(LOG_EPS)
+        # one real operand dominates two floored ones exactly
+        got = float(_logadd3(jnp.float32(-3.5), f, f))
+        assert got == pytest.approx(-3.5, abs=1e-6)
+        # all three at the floor stay at the floor's scale (log 3 above)
+        got = float(_logadd3(f, f, f))
+        assert got == pytest.approx(LOG_EPS, rel=1e-6)
+        # finite everywhere (the -inf-free LOG_EPS contract)
+        assert np.isfinite(got)
+
+    def test_grad_no_nan_at_floor(self):
+        from asr_study_tpu.ops.ctc import LOG_EPS, _logadd3
+
+        g = jax.grad(lambda a: _logadd3(a, jnp.float32(LOG_EPS),
+                                        jnp.float32(LOG_EPS)))(
+            jnp.float32(-2.0))
+        assert np.isfinite(float(g))
+        assert float(g) == pytest.approx(1.0, abs=1e-6)
+
+
 class TestCTCLoss:
     def test_matches_optax(self):
         logits, lengths, labels, label_lengths = _rand_case(
