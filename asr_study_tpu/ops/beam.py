@@ -56,6 +56,38 @@ _HASH_MULT2 = 0x85EBCA77  # murmur3 fmix constant (lane 2)
 _HASH_INIT = 1
 
 
+def _u32_halves(h):
+    """uint32 [N] -> two f32 columns < 2^16 (exactly representable, so a
+    one-hot MXU selection reproduces the value bit-for-bit)."""
+    return (
+        (h >> 16).astype(jnp.float32),
+        (h & jnp.uint32(0xFFFF)).astype(jnp.float32),
+    )
+
+
+def _u32_join(hi, lo):
+    return (
+        (jnp.round(hi).astype(jnp.uint32) << 16)
+        | jnp.round(lo).astype(jnp.uint32)
+    )
+
+
+def _i32_halves(v):
+    """nonnegative int32 [N] -> two f32 half-columns (values like the LM
+    context code can exceed 2^24, the f32 exact-integer bound)."""
+    return (
+        (v >> 16).astype(jnp.float32),
+        (v & 0xFFFF).astype(jnp.float32),
+    )
+
+
+def _i32_join(hi, lo):
+    return (
+        (jnp.round(hi).astype(jnp.int32) << 16)
+        | jnp.round(lo).astype(jnp.int32)
+    )
+
+
 def beam_stream_init(beam_width: int, lm_state0: int = 0):
     """Initial beam-scan carry (also the chunk-to-chunk streaming state):
     (lengths, last_char, p_blank, p_nonblank, hash_lane1, hash_lane2,
@@ -81,7 +113,8 @@ def beam_stream_init(beam_width: int, lm_state0: int = 0):
 
 def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
                lm_logp=None, lm_order: int = 0,
-               lm_alpha: float = 1.0, lm_beta: float = 0.0):
+               lm_alpha: float = 1.0, lm_beta: float = 0.0,
+               select: Optional[str] = None):
     """The per-frame beam-update closure shared by the batch decoder and
     the streaming chunk decoder.
 
@@ -94,8 +127,28 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
     same string carry identical LM mass, which keeps the stay==extend
     merge logadd exact.  The carried per-beam LM context updates with the
     base-C digit shift shared with ``CharNGramLM.next_state``.
+
+    ``select``: 'onehot' (default, from ASR_BEAM_SELECT) routes the
+    winner reshuffle through ONE candidate-field table [W+W*E, 12] and a
+    one-hot HIGHEST-precision MXU contraction — per-element gathers are
+    the TPU slow path (the r5 stub probe measured the ~10 per-frame
+    reshuffle gathers at ~22 of the 37.9 ms beam16 batch; same disease
+    and cure as the CTC emission gather, BENCHMARKS.md).  Selection is
+    exact: floats ride as their own columns (a one-hot HIGHEST matmul
+    reproduces f32 bit-for-bit), uint32 hash lanes and the int32 LM
+    context as two 16-bit half-columns each.  'gather' keeps the
+    indexed form (useful off-TPU).
     """
     n_char = vocab - 1                      # extensions exclude the blank
+    if select is None:
+        from asr_study_tpu.utils.env import choice_env
+
+        select = choice_env("ASR_BEAM_SELECT", "onehot",
+                            ("onehot", "gather"))
+    elif select not in ("onehot", "gather"):
+        raise ValueError(
+            f"select={select!r}: choose one of ('onehot', 'gather')"
+        )
     n_ext = n_char if prune <= 0 else min(prune, n_char)
     w_idx = jnp.arange(beam_width)
     if lm_logp is not None:
@@ -122,9 +175,16 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
         p_tot = _logadd(p_b, p_nb)                           # [W]
         # stay (emit blank, or repeat last char without a blank between)
         stay_pb = p_tot + lp_blank                           # [W]
-        lp_last = jnp.where(
-            last >= 0, lp[jnp.maximum(last, 0)], LOG_EPS
-        )
+        if select == "onehot":
+            oh_last = jax.nn.one_hot(
+                jnp.maximum(last, 0), vocab, dtype=jnp.float32
+            )
+            lp_sel = jnp.matmul(
+                oh_last, lp, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            lp_sel = lp[jnp.maximum(last, 0)]
+        lp_last = jnp.where(last >= 0, lp_sel, LOG_EPS)
         stay_pnb = p_nb + lp_last                            # [W]
         # extend with char c: via-blank only if c == last, else from both
         lp_c = lp_c_1d[None, :]                              # [1, E]
@@ -163,25 +223,80 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
         # --- keep top W over [W stays | W*E extends] --------------------
         scores = jnp.concatenate([stay_score, ext_score])
         _, sel = jax.lax.top_k(scores, beam_width)
-        is_stay = sel < beam_width
-        eflat = jnp.maximum(sel - beam_width, 0)             # ext cand id
-        parent = jnp.where(is_stay, sel, eflat // n_ext)
-        ext_char = chars[eflat % n_ext]
-        new_last = jnp.where(is_stay, last[parent], ext_char)
-        new_lengths = lengths[parent] + (~is_stay).astype(jnp.int32)
-        new_pb = jnp.where(is_stay, stay_pb[parent], LOG_EPS)
-        new_pnb = jnp.where(
-            is_stay, stay_pnb[parent], ext_pnb[eflat]
-        )
-        new_h1 = jnp.where(is_stay, hashes[parent], ext_h1[eflat])
-        new_h2 = jnp.where(is_stay, hashes2[parent], ext_h2[eflat])
+
+        # per-extension LM context (stay rows keep their parent's)
         if lm_logp is not None and lm_order >= 2:
             ext_lm = (
                 (lm_state[:, None] % lm_mod) * n_char + chars[None, :]
             ).reshape(-1).astype(jnp.int32)                  # [W*E]
-            new_lm = jnp.where(is_stay, lm_state[parent], ext_lm[eflat])
         else:
-            new_lm = lm_state[parent]
+            ext_lm = jnp.broadcast_to(
+                lm_state[:, None], (beam_width, n_ext)
+            ).reshape(-1)
+
+        if select == "onehot":
+            # ONE candidate-field table + one-hot MXU contraction instead
+            # of ~10 per-element gathers (the TPU slow path).  Columns:
+            # pb, pnb, last, length, parent, emitted-char(-1 for stays),
+            # h1hi, h1lo, h2hi, h2lo, lmhi, lmlo — all selections exact
+            # (see _u32_halves).
+            fw = jnp.float32
+            s_h1hi, s_h1lo = _u32_halves(hashes)
+            s_h2hi, s_h2lo = _u32_halves(hashes2)
+            s_lmhi, s_lmlo = _i32_halves(lm_state)
+            stay_tab = jnp.stack([
+                stay_pb, stay_pnb, last.astype(fw), lengths.astype(fw),
+                w_idx.astype(fw), jnp.full((beam_width,), -1.0, fw),
+                s_h1hi, s_h1lo, s_h2hi, s_h2lo, s_lmhi, s_lmlo,
+            ], axis=1)                                       # [W, 12]
+            e_h1hi, e_h1lo = _u32_halves(ext_h1)
+            e_h2hi, e_h2lo = _u32_halves(ext_h2)
+            e_lmhi, e_lmlo = _i32_halves(ext_lm)
+            ext_char_col = jnp.broadcast_to(
+                chars[None, :].astype(fw), (beam_width, n_ext)
+            ).reshape(-1)
+            ext_len_col = jnp.broadcast_to(
+                (lengths + 1)[:, None].astype(fw), (beam_width, n_ext)
+            ).reshape(-1)
+            ext_parent_col = jnp.broadcast_to(
+                w_idx[:, None].astype(fw), (beam_width, n_ext)
+            ).reshape(-1)
+            ext_tab = jnp.stack([
+                jnp.full_like(ext_pnb, LOG_EPS), ext_pnb,
+                ext_char_col, ext_len_col, ext_parent_col, ext_char_col,
+                e_h1hi, e_h1lo, e_h2hi, e_h2lo, e_lmhi, e_lmlo,
+            ], axis=1)                                       # [W*E, 12]
+            tab = jnp.concatenate([stay_tab, ext_tab], axis=0)
+            oh = jax.nn.one_hot(
+                sel, beam_width * (1 + n_ext), dtype=jnp.float32
+            )
+            picked = jnp.matmul(
+                oh, tab, precision=jax.lax.Precision.HIGHEST
+            )                                                # [W, 12]
+            new_pb = picked[:, 0]
+            new_pnb = picked[:, 1]
+            new_last = jnp.round(picked[:, 2]).astype(jnp.int32)
+            new_lengths = jnp.round(picked[:, 3]).astype(jnp.int32)
+            parent = jnp.round(picked[:, 4]).astype(jnp.int32)
+            sel_char = jnp.round(picked[:, 5]).astype(jnp.int32)
+            new_h1 = _u32_join(picked[:, 6], picked[:, 7])
+            new_h2 = _u32_join(picked[:, 8], picked[:, 9])
+            new_lm = _i32_join(picked[:, 10], picked[:, 11])
+        else:
+            is_stay = sel < beam_width
+            eflat = jnp.maximum(sel - beam_width, 0)         # ext cand id
+            parent = jnp.where(is_stay, sel, eflat // n_ext)
+            ext_char = chars[eflat % n_ext]
+            sel_char = jnp.where(is_stay, jnp.int32(-1), ext_char)
+            new_last = jnp.where(is_stay, last[parent], ext_char)
+            new_lengths = lengths[parent] + (~is_stay).astype(jnp.int32)
+            new_pb = jnp.where(is_stay, stay_pb[parent], LOG_EPS)
+            new_pnb = jnp.where(
+                is_stay, stay_pnb[parent], ext_pnb[eflat]
+            )
+            new_h1 = jnp.where(is_stay, hashes[parent], ext_h1[eflat])
+            new_h2 = jnp.where(is_stay, hashes2[parent], ext_h2[eflat])
+            new_lm = jnp.where(is_stay, lm_state[parent], ext_lm[eflat])
 
         new_state = (
             new_lengths, new_last, new_pb, new_pnb, new_h1, new_h2, new_lm
@@ -192,9 +307,7 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
             lambda n, o: jnp.where(valid, n, o), new_state, state
         )
         bp_parent = jnp.where(valid, parent, w_idx)
-        bp_char = jnp.where(
-            valid & ~is_stay, ext_char, jnp.int32(-1)
-        )
+        bp_char = jnp.where(valid, sel_char, jnp.int32(-1))
         return state, (bp_parent, bp_char)
 
     return step

@@ -293,6 +293,31 @@ class TestBeamSearch:
                 float(scores[0, p]), want[p][1], rtol=1e-4, atol=1e-4
             )
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_onehot_select_matches_gather(self, seed, monkeypatch):
+        """The one-hot MXU winner reshuffle (r5, ASR_BEAM_SELECT=onehot,
+        default) must reproduce the indexed-gather form bit-for-bit:
+        float columns, uint32 hash lanes, and the int32 LM context all
+        ride exact selections."""
+        from asr_study_tpu.text.lm import fit_ngram_lm
+
+        key = jax.random.PRNGKey(100 + seed)
+        logits = jax.random.normal(key, (3, 16, 6)) * 2.0
+        lens = jnp.array([16, 11, 13])
+        lm = fit_ngram_lm(
+            [[0, 1, 2, 3], [1, 2, 0], [3, 2, 1, 0, 4]],
+            order=3, n_char=5, space_id=4,
+        )
+        outs = {}
+        for mode in ("onehot", "gather"):
+            monkeypatch.setenv("ASR_BEAM_SELECT", mode)
+            outs[mode] = beam_search_decode(
+                logits, lens, beam_width=8, top_paths=4,
+                lm=lm, lm_alpha=0.7, lm_beta=0.1,
+            )
+        for a, b in zip(outs["onehot"], outs["gather"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     @pytest.mark.parametrize("seed", [0, 1])
     def test_pruned_matches_exact_when_unpruned(self, seed):
         key = jax.random.PRNGKey(seed)
