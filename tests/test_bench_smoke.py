@@ -158,6 +158,22 @@ def test_bench_ctc_probe_runs_on_cpu():
 
 
 @pytest.mark.slow
+def test_bench_beam_probe_runs_on_cpu():
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "bench_beam_probe.py"),
+         "--platform", "cpu", "--small", "--reps", "2", "--rounds", "2",
+         "--variants", "full", "scan", "empty"],
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "beam_stub_probe_ms"
+    for k in ("full", "scan", "empty"):
+        assert rec[k] > 0
+
+
+@pytest.mark.slow
 def test_bench_stream_runs_on_cpu():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "bench_stream.py"),
