@@ -176,11 +176,16 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
         # stay (emit blank, or repeat last char without a blank between)
         stay_pb = p_tot + lp_blank                           # [W]
         if select == "onehot":
+            # floor at LOG_EPS first: a -inf anywhere in lp (e.g.
+            # caller-masked classes) would make the unselected products
+            # 0.0 * -inf = NaN and poison EVERY row of the contraction;
+            # the gather form never touches unselected entries.
             oh_last = jax.nn.one_hot(
                 jnp.maximum(last, 0), vocab, dtype=jnp.float32
             )
             lp_sel = jnp.matmul(
-                oh_last, lp, precision=jax.lax.Precision.HIGHEST
+                oh_last, jnp.maximum(lp, LOG_EPS),
+                precision=jax.lax.Precision.HIGHEST,
             )
         else:
             lp_sel = lp[jnp.maximum(last, 0)]
@@ -244,8 +249,12 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
             s_h1hi, s_h1lo = _u32_halves(hashes)
             s_h2hi, s_h2lo = _u32_halves(hashes2)
             s_lmhi, s_lmlo = _i32_halves(lm_state)
+            # score columns floored at LOG_EPS: -inf would NaN the
+            # contraction (0.0 * -inf) — see lp_sel above
             stay_tab = jnp.stack([
-                stay_pb, stay_pnb, last.astype(fw), lengths.astype(fw),
+                jnp.maximum(stay_pb, LOG_EPS),
+                jnp.maximum(stay_pnb, LOG_EPS),
+                last.astype(fw), lengths.astype(fw),
                 w_idx.astype(fw), jnp.full((beam_width,), -1.0, fw),
                 s_h1hi, s_h1lo, s_h2hi, s_h2lo, s_lmhi, s_lmlo,
             ], axis=1)                                       # [W, 12]
@@ -262,7 +271,8 @@ def _make_step(beam_width: int, blank_id: int, vocab: int, prune: int,
                 w_idx[:, None].astype(fw), (beam_width, n_ext)
             ).reshape(-1)
             ext_tab = jnp.stack([
-                jnp.full_like(ext_pnb, LOG_EPS), ext_pnb,
+                jnp.full_like(ext_pnb, LOG_EPS),
+                jnp.maximum(ext_pnb, LOG_EPS),
                 ext_char_col, ext_len_col, ext_parent_col, ext_char_col,
                 e_h1hi, e_h1lo, e_h2hi, e_h2lo, e_lmhi, e_lmlo,
             ], axis=1)                                       # [W*E, 12]

@@ -14,9 +14,16 @@ algebra, and ~8 parent-indexed gathers for the winner reshuffle.
 Ladder (identical scan/vmap/shape structure; stubs break decode
 semantics by construction — they bound, they don't ship):
 
-- full:     ops/beam.beam_search_decode as shipped (softmax, scan,
-            materialize, ordering)
-- scan:     the scan + materialize only (log-probs precomputed outside)
+- full:     ops/beam.beam_search_decode as SHIPPED (softmax, scan,
+            materialize, ordering) — which, since this probe's finding
+            landed, means the one-hot winner reshuffle
+- scan:     the scan + materialize only, PINNED to the gather-form
+            reshuffle (select='gather') — the ladder's baseline anchor:
+            every stub below is gather-form, so their deltas are read
+            against this arm
+- scan_onehot: the same scan with the shipped one-hot reshuffle
+            (select='onehot') — scan vs scan_onehot reproduces the
+            shipped win in the stub harness (recorded: 37.9 -> 14.7)
 - notopk:   top_k -> first-W slice (ceiling for ANY selection attack:
             partial top-k, iterative max, bucketed select)
 - itermax:  the SHIPPABLE selection candidate: W iterative argmax+mask
@@ -154,7 +161,11 @@ def stub_decode(log_probs, lengths, beam_width, blank_id, variant):
     t_max, vocab = log_probs.shape[1], log_probs.shape[2]
 
     if variant == "real":
-        stepf = B._make_step(beam_width, blank_id, vocab, 0)
+        stepf = B._make_step(beam_width, blank_id, vocab, 0,
+                             select="gather")
+    elif variant == "real_onehot":
+        stepf = B._make_step(beam_width, blank_id, vocab, 0,
+                             select="onehot")
     else:
         stepf = _stub_step(beam_width, blank_id, vocab, variant)
 
@@ -182,8 +193,8 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=16)
     ap.add_argument(
         "--variants", nargs="*",
-        default=["full", "scan", "notopk", "itermax", "nomerge",
-                 "nogather", "empty"],
+        default=["full", "scan", "scan_onehot", "notopk", "itermax",
+                 "nomerge", "nogather", "empty"],
     )
     args = ap.parse_args()
     if args.platform:
@@ -231,7 +242,7 @@ def main() -> int:
                 B.beam_search_decode(lg, ln, beam_width=W)[2]),
                 (logits, lens))
         else:
-            vv = "real" if v == "scan" else v
+            vv = {"scan": "real", "scan_onehot": "real_onehot"}.get(v, v)
             res[v] = timed(v, lambda lp_s, ln, vv=vv: stub_decode(
                 lp_s, ln, W, V - 1, vv), (lp, lens))
 

@@ -11,25 +11,27 @@ S=97, s_pad=128) is ~1.5 ms for loss+grad (BENCHMARKS.md stage table).
 That splits into: XLA ops outside the kernels (log_softmax, one-hot
 emission einsum + its scatter transpose, dlp elementwise) and two Pallas
 kernels (alpha forward, beta/gamma backward), each T serial frames of:
-2 lattice lane-rolls, a 3-way logadd (two chained stable logadds = a
-serial max/sub/exp/log1p chain of depth 4 transcendentals), the emission
-add, a floor clamp, and the validity select.
+2 lattice lane-rolls, a 3-way logadd, the emission add, a floor clamp,
+and the validity select.
 
 Ladder (identical grid/BlockSpecs/chunking/serial deps as the real
 kernels; stubs break parity by construction — they bound, don't ship):
 
-- fwd/bwd real:     ops/pallas_ctc._fwd_call/_bwd_call as shipped
+- fwd/bwd real:     ops/pallas_ctc._fwd_call/_bwd_call as SHIPPED —
+                    which, since the r5 probe's finding landed, means
+                    the fused one-shot 3-way logadd
+                    (m + log(e^(a-m)+e^(b-m)+e^(c-m)); serial
+                    transcendental depth 2)
+- fwd/bwd chained3: the r4-era baseline arm the fused form replaced:
+                    two chained stable logadds (exp->log1p, depth 4).
+                    real vs chained3 reproduces the shipped win
+                    (recorded: -4.6% fwd / -2.6% bwd).
 - fwd/bwd max3:     _logadd3 -> 3-way max (ceiling for ANY transcendental
                     attack: fused forms, polynomial log/exp, bf16)
 - fwd/bwd noroll:   logadd kept, lane rolls -> identity (ceiling for any
                     shift/permute attack)
 - fwd/bwd empty:    one max + select per frame (loop-structure floor;
                     keeps per-frame loads/stores)
-- fwd/bwd fused3:   the SHIPPABLE candidate: one-shot 3-way logadd
-                    m + log(e^(a-m)+e^(b-m)+e^(c-m)) — 3 parallel exps +
-                    1 log (serial transcendental depth 2) instead of two
-                    chained exp->log1p (depth 4).  Same math, ulp-level
-                    float difference.
 - full:             loss+grad through ops/ctc.ctc_loss (pallas backend)
                     — the number the stage table tracks; outside-kernel
                     XLA cost = full - fwd - bwd.
@@ -58,6 +60,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from asr_study_tpu.ops import pallas_ctc as PC          # noqa: E402
 from asr_study_tpu.ops.ctc import (                     # noqa: E402
     LOG_EPS,
+    _logadd,
     ctc_loss,
     extend_labels,
 )
@@ -66,20 +69,12 @@ from asr_study_tpu.utils.platform import (              # noqa: E402
 )
 
 
-def _logadd3_fused(a, b, c):
-    """One-shot stable log(e^a + e^b + e^c): the candidate attack."""
-    mx = jnp.maximum(jnp.maximum(a, b), c)
-    mx = jnp.maximum(mx, LOG_EPS)
-    s = jnp.exp(a - mx) + jnp.exp(b - mx) + jnp.exp(c - mx)
-    return mx + jnp.log(s)
-
-
 def _combine(variant, a, b, c):
     if variant == "max3":
         return jnp.maximum(jnp.maximum(a, b), c)
-    if variant == "fused3":
-        return _logadd3_fused(a, b, c)
-    return PC._logadd3(a, b, c)
+    if variant == "chained3":
+        return _logadd(_logadd(a, b), c)     # the pre-r5 shipped form
+    return PC._logadd3(a, b, c)              # shipped (fused since r5)
 
 
 def _stub_fwd_kernel(lp_ref, valid_ref, skip_ref, alpha_out_ref, alpha_scr,
@@ -231,9 +226,9 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument(
         "--variants", nargs="*",
-        default=["full", "fwd", "bwd", "fwd_max3", "bwd_max3",
-                 "fwd_noroll", "bwd_noroll", "fwd_empty", "bwd_empty",
-                 "fwd_fused3", "bwd_fused3"],
+        default=["full", "fwd", "bwd", "fwd_chained3", "bwd_chained3",
+                 "fwd_max3", "bwd_max3", "fwd_noroll", "bwd_noroll",
+                 "fwd_empty", "bwd_empty"],
     )
     args = ap.parse_args()
     if args.platform:

@@ -153,7 +153,7 @@ def test_bench_ctc_probe_runs_on_cpu():
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["metric"] == "ctc_stub_probe_ms"
-    for k in ("full", "fwd", "bwd", "fwd_max3", "bwd_fused3"):
+    for k in ("full", "fwd", "bwd", "fwd_max3", "bwd_chained3"):
         assert rec[k] > 0
 
 

@@ -318,6 +318,32 @@ class TestBeamSearch:
         for a, b in zip(outs["onehot"], outs["gather"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @staticmethod
+    def _decode_masked(mode, monkeypatch):
+        monkeypatch.setenv("ASR_BEAM_SELECT", mode)
+        key = jax.random.PRNGKey(7)
+        logits = jax.random.normal(key, (2, 12, 6)) * 2.0
+        logits = logits.at[:, :, 2].set(-jnp.inf)   # class 2 forbidden
+        lens = jnp.array([12, 9])
+        dec, dlens, scores = beam_search_decode(
+            logits, lens, beam_width=4, top_paths=2
+        )
+        return np.asarray(dec), np.asarray(dlens), np.asarray(scores)
+
+    def test_inf_masked_logits_decode_finite_and_agree(self, monkeypatch):
+        """-inf class masking (a standard caller pattern) must not NaN
+        the decode: the one-hot contractions floor their score columns
+        at LOG_EPS first (0.0 * -inf = NaN would poison every row), and
+        both select paths must produce the same prefixes."""
+        outs = {}
+        for mode in ("onehot", "gather"):
+            dec, dlens, scores = self._decode_masked(mode, monkeypatch)
+            assert np.isfinite(scores).all(), mode
+            assert not (dec == 2).any(), mode
+            outs[mode] = (dec, dlens)
+        np.testing.assert_array_equal(outs["onehot"][0], outs["gather"][0])
+        np.testing.assert_array_equal(outs["onehot"][1], outs["gather"][1])
+
     @pytest.mark.parametrize("seed", [0, 1])
     def test_pruned_matches_exact_when_unpruned(self, seed):
         key = jax.random.PRNGKey(seed)
