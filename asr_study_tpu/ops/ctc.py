@@ -36,9 +36,10 @@ def _logadd3(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
 
     3 parallel exps + 1 log instead of two chained ``_logadd``s (serial
     transcendental depth 2 vs 4) — on the serial per-frame critical path
-    of both CTC recursions this measures −4.6% fwd / −2.6% bwd on the
-    Pallas kernels (r5, benchmarks/bench_ctc_probe.py; ~3e-5 drift vs
-    the chained form, same math).  Safety: both recursions keep their
+    of both CTC recursions this measures −3.4% fwd / −3.3% bwd in the
+    controlled same-harness A/B (r5, benchmarks/bench_ctc_probe.py
+    fwd/bwd_chained3 vs fwd/bwd_fused3; ~3e-5 drift vs the chained
+    form, same math).  Safety: both recursions keep their
     carry ≥ LOG_EPS, so ``mx`` is one of the args and s ≥ 1 — autodiff
     through log(s) cannot NaN; all-below-floor corner values (padded
     lattice states in the beta walk) yield −inf which every caller

@@ -24,8 +24,15 @@ kernels; stubs break parity by construction — they bound, don't ship):
                     transcendental depth 2)
 - fwd/bwd chained3: the r4-era baseline arm the fused form replaced:
                     two chained stable logadds (exp->log1p, depth 4).
-                    real vs chained3 reproduces the shipped win
-                    (recorded: -4.6% fwd / -2.6% bwd).
+- fwd/bwd fused3:   the shipped fused form IN THE SAME STUB HARNESS as
+                    chained3 — the controlled A/B for the shipped win
+                    (recorded: -3.4% fwd / -3.3% bwd).  Compare
+                    chained3 vs fused3, NOT vs real: the stub wrapper
+                    itself measures ~0.9 us/batch faster than the real
+                    PC._fwd_call/_bwd_call path with IDENTICAL math
+                    (program-identity-keyed scheduling; measured both
+                    directions, form-independent), so cross-path
+                    deltas at this scale are artifacts.
 - fwd/bwd max3:     _logadd3 -> 3-way max (ceiling for ANY transcendental
                     attack: fused forms, polynomial log/exp, bf16)
 - fwd/bwd noroll:   logadd kept, lane rolls -> identity (ceiling for any
@@ -227,8 +234,8 @@ def main() -> int:
     ap.add_argument(
         "--variants", nargs="*",
         default=["full", "fwd", "bwd", "fwd_chained3", "bwd_chained3",
-                 "fwd_max3", "bwd_max3", "fwd_noroll", "bwd_noroll",
-                 "fwd_empty", "bwd_empty"],
+                 "fwd_fused3", "bwd_fused3", "fwd_max3", "bwd_max3",
+                 "fwd_noroll", "bwd_noroll", "fwd_empty", "bwd_empty"],
     )
     args = ap.parse_args()
     if args.platform:
