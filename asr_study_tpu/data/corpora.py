@@ -359,17 +359,33 @@ class SynthWords(DatasetParser):
             # parameters — silently reusing wavs generated with another
             # n/seed would make --corpus_params changes no-ops
             mpath = os.path.join(self.dataset_dir, "_manifest.json")
-            have = None
             if os.path.exists(mpath):
                 with open(mpath) as f:
                     have = json.load(f)
-            if have != self._manifest():
-                raise ValueError(
-                    f"SynthWords dir {self.dataset_dir!r} holds a corpus "
-                    f"generated with {have} but the parser was built with "
-                    f"{self._manifest()}; point at a fresh directory or "
-                    "match the parameters"
-                )
+                if have != self._manifest():
+                    raise ValueError(
+                        f"SynthWords dir {self.dataset_dir!r} holds a "
+                        f"corpus generated with {have} but the parser was "
+                        f"built with {self._manifest()}; point at a fresh "
+                        "directory or match the parameters"
+                    )
+            else:
+                # pre-manifest corpus (generated before the manifest was
+                # introduced): the seed can't be verified after the fact,
+                # so adopt the dir when its size matches the requested n
+                # (writing the manifest it lacked) and reject size
+                # mismatches with a message naming the real problem
+                n_wav = sum(1 for f in os.listdir(self.dataset_dir)
+                            if f.endswith(".wav"))
+                if n_wav != self.n:
+                    raise ValueError(
+                        f"SynthWords dir {self.dataset_dir!r} has no "
+                        f"_manifest.json and holds {n_wav} wavs but the "
+                        f"parser was built with n={self.n}; point at a "
+                        "fresh directory or match the parameters"
+                    )
+                with open(mpath, "w") as f:
+                    json.dump(self._manifest(), f)
         files = sorted(
             f for f in os.listdir(self.dataset_dir) if f.endswith(".wav")
         )

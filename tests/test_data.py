@@ -150,6 +150,19 @@ def test_synthwords_structured_corpus(tmp_path):
     again = list(SynthWords(str(tmp_path / "synth"), n=20, seed=3)
                  .iter_utterances())
     assert [u["audio"] for u in again] == [u["audio"] for u in utts]
+    # a pre-manifest corpus dir (generated before the manifest existed)
+    # is ADOPTED when its wav count matches n — the manifest gets
+    # written — and rejected with a size-naming error otherwise
+    mpath = tmp_path / "synth" / "_manifest.json"
+    os.remove(mpath)
+    adopted = list(SynthWords(str(tmp_path / "synth"), n=20, seed=3)
+                   .iter_utterances())
+    assert [u["audio"] for u in adopted] == [u["audio"] for u in utts]
+    assert os.path.exists(mpath)
+    os.remove(mpath)
+    with pytest.raises(ValueError, match="no.*manifest|holds 20 wavs"):
+        list(SynthWords(str(tmp_path / "synth"), n=40, seed=3)
+             .iter_utterances())
 
 
 # -- serialization -----------------------------------------------------------
