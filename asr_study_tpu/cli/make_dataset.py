@@ -65,6 +65,12 @@ def main(argv=None) -> int:
         from asr_study_tpu.utils.platform import select_platform
 
         select_platform(args.platform)
+    from asr_study_tpu.utils.platform import setup_compilation_cache
+
+    # like every other CLI: --device extraction jits one program per
+    # length bucket (1-5 min compiles on this host / over the tunnel);
+    # the persistent cache makes rebuild reruns fast
+    setup_compilation_cache()
     corpus_kw = json.loads(args.corpus_params) if args.corpus_params else {}
     corpus = get_from_module("corpus", args.parser)(
         args.dataset_dir, **corpus_kw

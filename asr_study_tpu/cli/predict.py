@@ -150,17 +150,32 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
             file=sys.stderr,
         )
 
-    wavs = [read_wav(p)[0] for p in args.wavs]
+    # resample to the featurizer's rate, like the host/streaming paths —
+    # a hard-coded 16 kHz here would silently mis-frame runs trained at
+    # any other fs (the wire carries raw samples; the device featurizer
+    # interprets them at ITS configured rate)
+    fs = int(feat_kw.get("fs", 16000))
+    wavs = [read_wav(p, sr=fs)[0] for p in args.wavs]
     batch = max(1, min(args.batch_size, len(wavs)))
     n_pad = -(-max(len(w) for w in wavs) // 2048) * 2048
     groups = [wavs[i: i + batch] for i in range(0, len(wavs), batch)]
     if args.wire_codec == "dpack":
-        scap = max(wire.dpack_measure([g], batch)[1] for g in groups)
-        caps = []
-        for g in groups:
-            _, widths, payload, _ = wire.dpack_encode(g)
-            need = 2 * batch + scap // 4096 + payload.shape[0]
-            caps.append(-(-need // 256) * 256)
+        # ONE host encode per group feeds sizing AND packing (the encode
+        # is the expensive host-side step this serving path exists to
+        # minimize; it used to run 3x per group)
+        encs = [wire.dpack_encode(g) for g in groups]
+        scap = max(4096, max(
+            -(-n // 4096) * 4096 for *_, n in encs
+        ))
+        caps = [
+            -(-(2 * batch + scap // 4096 + payload.shape[0]) // 256) * 256
+            for _, _, payload, _ in encs
+        ]
+        cap = max(caps)
+        bufs = [
+            wire.dpack_pack(g, c, scap, batch=batch, enc=e)
+            for g, c, e in zip(groups, caps, encs)
+        ]
     else:
         scap = None
         caps = [
@@ -168,12 +183,11 @@ def _predict_on_device(args, model, state, feat_kw, lm=None):
                           codec=args.wire_codec)
             for g in groups
         ]
-    cap = max(caps)
-    bufs = [
-        wire.pack_audio(g, c, batch=batch, codec=args.wire_codec,
-                        scap=scap)
-        for g, c in zip(groups, caps)
-    ]
+        cap = max(caps)
+        bufs = [
+            wire.pack_audio(g, c, batch=batch, codec=args.wire_codec)
+            for g, c in zip(groups, caps)
+        ]
     offs = np.cumsum([0] + caps[:-1])
     chunk = np.concatenate(bufs + [np.zeros(cap - caps[-1], np.int16)])
 

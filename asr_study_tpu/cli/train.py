@@ -152,7 +152,10 @@ def main(argv=None) -> int:
         for k in ("params", "batch_size", "opt", "lr", "clipnorm", "bf16",
                   "lr_decay", "early_stop", "accum_steps", "lr_plateau"):
             v = getattr(args, k)
-            if v != getattr(defaults, k) and v not in (None, False):
+            # `is not False`, NOT `not in (None, False)`: 0 == False in
+            # Python, so a falsy-zero override (--clipnorm 0) must still
+            # tag the run dir or it collides with the default run's
+            if v != getattr(defaults, k) and v is not None and v is not False:
                 tags.append(f"{k}={v}")
         safe = "".join(
             c if c.isalnum() or c in "=._-" else "_" for c in "_".join(tags)
@@ -176,10 +179,10 @@ def main(argv=None) -> int:
         except ValueError as e:
             raise SystemExit(f"--tp_devices {tp}: {e}") from None
     n_dev = args.num_devices or avail // tp
-    if n_dev * tp > avail:
+    if n_dev < 1 or n_dev * tp > avail:
         raise SystemExit(
-            f"--num_devices {n_dev} x --tp_devices {tp} but only "
-            f"{avail} device(s) available"
+            f"--num_devices {args.num_devices or n_dev} x --tp_devices "
+            f"{tp} but only {avail} device(s) available"
         )
     if args.batch_size % n_dev:
         raise SystemExit(
@@ -205,7 +208,14 @@ def main(argv=None) -> int:
             gen, args.dataset, "valid", label_parser,
             args.input_parser, args.input_params,
         )
-    except (KeyError, ValueError):
+    except KeyError:
+        valid_it = None     # dataset has no 'valid' split
+    except ValueError as e:
+        # only the generator's intentional "no usable valid data" signal
+        # means train-without-validation; anything else (corrupt wav,
+        # feature failure) must surface, not silently drop validation
+        if "empty dataset" not in str(e):
+            raise
         valid_it = None
     if args.early_stop and valid_it is None:
         raise SystemExit(

@@ -44,12 +44,20 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def _dataset_texts(path: str, splits, parser: CharParser):
     """Transcripts from a built dataset, as id sequences."""
-    if path.endswith(".json"):
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        # JSON-lines manifest (the DatasetParser.to_json format, same as
+        # flow_from_json): one utterance per line, missing 'split'
+        # fields count as 'train'
+        wanted = set(splits)
         with open(path) as f:
-            manifest = json.load(f)
-        for split in splits:
-            for entry in manifest.get(split, []):
-                yield parser(entry["label"])
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                entry = json.loads(line)
+                if (entry.get("split", "train") in wanted
+                        and parser.is_valid(entry["label"])):
+                    yield parser(entry["label"])
         return
     import h5py
 

@@ -33,6 +33,40 @@ def _hash_split(key: str, valid_frac: float = 0.05, test_frac: float = 0.05) -> 
     return "train"
 
 
+def _guard_generated_dir(dataset_dir: str, manifest: dict, n: int,
+                         cls_name: str) -> None:
+    """An existing generated-corpus dir must match the constructor's
+    parameters — silently reusing wavs generated with another n/seed
+    would make --corpus_params changes no-ops (ADVICE r4).  Dirs from
+    before the manifest existed are adopted when their wav count matches
+    n (the seed can't be verified after the fact; the manifest they
+    lacked gets written), and rejected otherwise with a message naming
+    the real problem."""
+    mpath = os.path.join(dataset_dir, "_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            have = json.load(f)
+        if have != manifest:
+            raise ValueError(
+                f"{cls_name} dir {dataset_dir!r} holds a corpus "
+                f"generated with {have} but the parser was built with "
+                f"{manifest}; point at a fresh directory or match the "
+                "parameters"
+            )
+    else:
+        n_wav = sum(1 for f in os.listdir(dataset_dir)
+                    if f.endswith(".wav"))
+        if n_wav != n:
+            raise ValueError(
+                f"{cls_name} dir {dataset_dir!r} has no _manifest.json "
+                f"and holds {n_wav} wavs but the parser was built with "
+                f"n={n}; point at a fresh directory or match the "
+                "parameters"
+            )
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+
 def _read_decoded(path: str) -> str:
     """Read a transcript/prompt file, tolerating the encodings found in
     the real corpus distributions: UTF-8 first, ISO-8859-1 (Latin-1)
@@ -355,37 +389,8 @@ class SynthWords(DatasetParser):
         ):
             self.generate()
         else:
-            # an existing directory must match the constructor's corpus
-            # parameters — silently reusing wavs generated with another
-            # n/seed would make --corpus_params changes no-ops
-            mpath = os.path.join(self.dataset_dir, "_manifest.json")
-            if os.path.exists(mpath):
-                with open(mpath) as f:
-                    have = json.load(f)
-                if have != self._manifest():
-                    raise ValueError(
-                        f"SynthWords dir {self.dataset_dir!r} holds a "
-                        f"corpus generated with {have} but the parser was "
-                        f"built with {self._manifest()}; point at a fresh "
-                        "directory or match the parameters"
-                    )
-            else:
-                # pre-manifest corpus (generated before the manifest was
-                # introduced): the seed can't be verified after the fact,
-                # so adopt the dir when its size matches the requested n
-                # (writing the manifest it lacked) and reject size
-                # mismatches with a message naming the real problem
-                n_wav = sum(1 for f in os.listdir(self.dataset_dir)
-                            if f.endswith(".wav"))
-                if n_wav != self.n:
-                    raise ValueError(
-                        f"SynthWords dir {self.dataset_dir!r} has no "
-                        f"_manifest.json and holds {n_wav} wavs but the "
-                        f"parser was built with n={self.n}; point at a "
-                        "fresh directory or match the parameters"
-                    )
-                with open(mpath, "w") as f:
-                    json.dump(self._manifest(), f)
+            _guard_generated_dir(self.dataset_dir, self._manifest(),
+                                 self.n, "SynthWords")
         files = sorted(
             f for f in os.listdir(self.dataset_dir) if f.endswith(".wav")
         )
@@ -457,6 +462,24 @@ class Dummy(DatasetParser):
             f.endswith(".wav") for f in os.listdir(self.dataset_dir)
         ):
             self.generate()
+        else:
+            # an existing dir is parsed as-is — the smoke corpus' contract
+            # is "generate once, optionally hand-edit, reparse" (several
+            # CLI round-trip tests edit transcripts in place), so unlike
+            # SynthWords (strict: experiment results depend on n/seed)
+            # a size mismatch only WARNS that the generation params were
+            # ignored rather than rejecting the directory
+            n_wav = sum(1 for f in os.listdir(self.dataset_dir)
+                        if f.endswith(".wav"))
+            if n_wav != self.n:
+                import sys
+
+                print(
+                    f"Dummy: parsing existing {self.dataset_dir!r} with "
+                    f"{n_wav} wavs (constructor n={self.n} applies only "
+                    "when generating)",
+                    file=sys.stderr,
+                )
         files = sorted(
             f for f in os.listdir(self.dataset_dir) if f.endswith(".wav")
         )

@@ -354,19 +354,22 @@ def dpack_encode(
 
 def dpack_pack(
     wavs: Sequence[np.ndarray], cap: int, scap: int,
-    batch: int | None = None,
+    batch: int | None = None, enc=None,
 ) -> np.ndarray:
     """Pack with the dpack codec into a [cap] int16 buffer.
 
     ``scap`` is the static sample capacity (a block multiple) the decoder
     was compiled for; the widths region occupies scap/4096 words.
+    ``enc`` optionally passes ``dpack_encode(wavs)``'s result so callers
+    that already encoded (for capacity sizing) don't pay the host encode
+    again.
     """
     if scap % _DPACK_BLOCK:
         raise ValueError(f"scap must be a multiple of {_DPACK_BLOCK}")
     b = batch if batch is not None else len(wavs)
     if len(wavs) > b:
         raise ValueError(f"{len(wavs)} wavs > batch {b}")
-    lens, widths, payload, n = dpack_encode(wavs)
+    lens, widths, payload, n = enc if enc is not None else dpack_encode(wavs)
     nbcap = scap // _DPACK_BLOCK
     if widths.shape[0] > nbcap:
         raise ValueError(

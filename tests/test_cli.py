@@ -343,6 +343,34 @@ def test_train_lm_from_text_file(tmp_path, capsys):
     assert lm.order == 3 and lm.logp.shape == (27 * 27, 27)
 
 
+def test_train_lm_from_json_manifest(tmp_path, capsys):
+    """--dataset with a to_json JSON-LINES manifest (the project's
+    manifest format): split filtering and label parsing must work — a
+    regression for the r5 review finding that this path parsed the file
+    as one split-keyed dict and crashed on every real manifest."""
+    from asr_study_tpu.cli.train_lm import main as train_lm_main
+    from asr_study_tpu.data.corpora import Dummy
+
+    d = Dummy(str(tmp_path / "corpus"), n=8)
+    n_train = sum(
+        1 for u in d.iter_utterances() if u["split"] == "train"
+    )
+    for ext in (".json", ".jsonl"):
+        manifest = str(tmp_path / f"m{ext}")
+        d.to_json(manifest)
+        out = str(tmp_path / f"lm{ext}.npz")
+        rc = train_lm_main([
+            "--dataset", manifest, "--splits", "train",
+            "--order", "2", "--output", out, "--held_out", "test",
+        ])
+        assert rc == 0
+        report = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert report["num_sequences"] == n_train
+        assert "held_out_perplexity" in report
+
+
 def test_parity_snapshot_roundtrip(tmp_path):
     """extras/parity_snapshot.py: create -> verify must pass, and the
     committed artifact (parity/oracle_v1.npz) must match the current

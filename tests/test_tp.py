@@ -190,3 +190,13 @@ class TestValidateTP:
                 "--num_devices", "2", "--tp_devices", "2",
                 "--save", str(tmp_path / "run"),
             ])
+        # tp wider than the host: the device-count diagnostic, not a
+        # ZeroDivisionError from the auto-derived n_dev of 0 (r5 review)
+        with pytest.raises(SystemExit, match="device"):
+            train_main([
+                "--platform", "cpu", "--dataset", h5,
+                "--model", "deep_blstm", "--params", "num_hiddens=8",
+                "--epochs", "1", "--batch_size", "4",
+                "--tp_devices", "16",
+                "--save", str(tmp_path / "run"),
+            ])
