@@ -135,14 +135,18 @@ class DeviceFeatureExtractor:
                 # compiles cost minutes
                 grain = 16 * 4096
                 scap = max(grain, -(-total // grain) * grain)
-                _, widths, payload, _ = wire.dpack_encode(group)
-                need = 2 * self.batch + scap // 4096 + payload.shape[0]
+                enc = wire.dpack_encode(group)
+                need = 2 * self.batch + scap // 4096 + enc[2].shape[0]
                 cap = -(-need // self.align) * self.align
+                # ONE host encode per group: sizing and packing share it
+                # (pack_audio's dpack branch would re-encode)
+                flat = wire.dpack_pack(group, cap, scap,
+                                       batch=self.batch, enc=enc)
             else:
                 scap = None
                 cap = wire.wire_cap(self.batch, total, self.align)
-            flat = wire.pack_audio(group, cap, batch=self.batch,
-                                   codec=self.wire_codec, scap=scap)
+                flat = wire.pack_audio(group, cap, batch=self.batch,
+                                       codec=self.wire_codec)
             try:
                 feats, feat_lens = self._serve(
                     self.batch, n_pad, scap

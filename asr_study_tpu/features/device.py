@@ -51,9 +51,11 @@ def device_num_frames(wav_lengths: jax.Array, frame_len: int,
     """Vector version of audio.num_frames (both framing conventions)."""
     if center:
         return 1 + wav_lengths // frame_step
-    extra = jnp.ceil(
-        (wav_lengths - frame_len).astype(jnp.float32) / frame_step
-    ).astype(jnp.int32)
+    # integer ceil-div, NOT a float32 round trip: sample counts above
+    # 2^24 lose integer precision in f32 and can come out one frame
+    # short of the float64 oracle (audio.num_frames) — exact for any
+    # int32 length this way
+    extra = (wav_lengths - frame_len + frame_step - 1) // frame_step
     return jnp.where(wav_lengths <= frame_len, 1, 1 + extra)
 
 

@@ -341,7 +341,7 @@ class RNNLayer:
         if not (
             self.bidirectional
             and RNN_BACKEND != "scan"
-            and os.environ.get("ASR_RNN_FUSED", "1") != "0"
+            and choice_env("ASR_RNN_FUSED", "1", ("0", "1")) != "0"
             and type(cell) in (LSTMCell, GRUCell, LayerNormLSTMCell,
                                MILSTMCell, ZoneoutLSTMCell)
             and cell.dtype == jnp.float32

@@ -188,7 +188,8 @@ def _ln_row_bwd(i, dh_next, dc_next, xpn_ref, mask_ref, hprev_ref,
     dhp = jnp.concatenate(dhp_parts, axis=-1)
     dh_rec = _mm(dhp, wht_ref)
     dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
-    dc_prev = jnp.where(m > 0, dc * f, dc)
+    # held frames: pass dc_next through, not dc (see pallas_lstm.py)
+    dc_prev = jnp.where(m > 0, dc * f, dc_next)
     dpre_ref[i] = dpre
     dcn_ref[i] = dcn
     return (dh_prev, dc_prev)

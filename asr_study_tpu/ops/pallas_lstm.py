@@ -145,9 +145,13 @@ def _lstm_row_bwd(i, dh_next, dc_next, xp_ref, mask_ref, hprev_ref,
     )                                                    # [B, 4H]
     dpre = jnp.where(m > 0, dpre, 0.0)
     dh_rec = _mm(dpre, wht_ref)
-    # masked frames pass state (and its cotangent) straight through
+    # masked frames pass state (and its cotangent) straight through:
+    # dc_next, NOT dc — a held frame's output is h_prev, so the
+    # dh*o*(1-tanh^2 c) term folded into dc must not leak into the
+    # chain there (r5 review; verified vs the scan cell's autodiff on
+    # losses that read padded outputs)
     dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
-    dc_prev = jnp.where(m > 0, dc * f, dc)
+    dc_prev = jnp.where(m > 0, dc * f, dc_next)
     dxp_ref[i] = dpre
     return (dh_prev, dc_prev)
 

@@ -123,7 +123,8 @@ def _mi_row_bwd(i_row, dh_next, dc_next, xp_ref, mask_ref, hprev_ref,
     dhp = dpre * (al_ref[0] * xp_t + b2_ref[0])         # d(gates)/d(hp)
     dh_rec = _mm(dhp, wht_ref)
     dh_prev = dh_rec + jnp.where(m > 0, 0.0, dh)
-    dc_prev = jnp.where(m > 0, dc * f, dc)
+    # held frames: pass dc_next through, not dc (see pallas_lstm.py)
+    dc_prev = jnp.where(m > 0, dc * f, dc_next)
     dpre_ref[i_row] = dpre
     return (dh_prev, dc_prev)
 

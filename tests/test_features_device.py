@@ -24,7 +24,11 @@ def _rand_wavs(seed=0, batch=3, n=7000):
 
 class TestDeviceNumFrames:
     def test_matches_oracle(self):
-        for ln in [1, 100, 400, 401, 560, 561, 7000]:
+        # incl. lengths past 2^24, where the old f32 ceil round trip
+        # rounded the sample count and came out one frame short (r5
+        # review): integer ceil-div is exact for any int32 length
+        for ln in [1, 100, 400, 401, 560, 561, 7000,
+                   (1 << 24) + 81, (1 << 24) + 400 + 161]:
             got = int(device_num_frames(jnp.array([ln]), 400, 160)[0])
             assert got == audio.num_frames(ln, 400, 160), ln
 

@@ -55,6 +55,63 @@ def test_forward_and_grads_match_scan(monkeypatch):
     _assert_close(*_run_both(net, params, x, mask, monkeypatch))
 
 
+def test_unmasked_loss_grads_match_held_scan():
+    """Held-frame cotangents at the KERNEL level (the model paths mask
+    outputs, so only direct consumers see this): a loss reading frames
+    past each row's length must back-propagate like autodiff through a
+    hold-state scan of the LN cell's step.  Regression for the r5
+    review find (dc_prev leaked the output-path term on masked frames;
+    see test_pallas_lstm.py)."""
+    from asr_study_tpu.models.cells import LayerNormLSTMCell
+    from asr_study_tpu.ops.pallas_ln_lstm import pallas_ln_lstm
+
+    h, t, b, f = 8, 11, 3, 5
+    cell = LayerNormLSTMCell(h)
+    params = cell.init(jax.random.PRNGKey(0), f)
+    params["b"] = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(9), params["b"].shape
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (t, b, f))
+    mask = (jnp.arange(t)[:, None] < jnp.array([11, 7, 5])[None, :]
+            ).astype(jnp.float32)[..., None]
+    xp = cell.input_proj(params, x)
+
+    def pal(xp_in, wh):
+        # the scan_cell LN prep (models/rnn.py), no padding at h=8
+        xpn = (LayerNormLSTMCell._blockwise_ln(params["ln_x"], xp_in)
+               + params["b"] + params["ln_h"]["b"])
+        return pallas_ln_lstm(
+            xpn, mask, wh, params["ln_h"]["g"], params["ln_c"]["g"],
+            params["ln_c"]["b"], h, h, interpret=True,
+        )
+
+    def ref(xp_in, wh):
+        p = dict(params, wh=wh)
+
+        def body(carry, inp):
+            xp_t, m_t = inp
+            carry, out = cell.step(p, carry, xp_t, m_t)
+            return carry, out
+
+        _, outs = jax.lax.scan(
+            body, cell.init_carry(xp_in.shape[1]), (xp_in, mask)
+        )
+        return outs
+
+    np.testing.assert_allclose(
+        np.asarray(pal(xp, params["wh"])),
+        np.asarray(ref(xp, params["wh"])), rtol=1e-4, atol=1e-5,
+    )
+    g_pal = jax.grad(lambda a, w: jnp.sum(pal(a, w) ** 2),
+                     argnums=(0, 1))(xp, params["wh"])
+    g_ref = jax.grad(lambda a, w: jnp.sum(ref(a, w) ** 2),
+                     argnums=(0, 1))(xp, params["wh"])
+    for a, c in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_unaligned_hidden(monkeypatch):
     """H=100 (graves2006 width): lane padding + masked LN statistics must
     keep parity — LN over padded lanes was the failure mode to guard."""

@@ -83,6 +83,53 @@ class TestGradients:
             np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
         )
 
+    def test_unmasked_loss_grads_match_held_scan(self):
+        """Cotangents arriving at HELD (padded) frames: the kernel holds
+        h/c past each row's length, so a loss that reads those frames
+        must back-propagate exactly like autodiff through a hold-state
+        scan of cell.step.  Regression for the r5 review find: the
+        backward leaked the dh*o*(1-tanh^2 c) term into dc_prev on
+        masked frames (it must pass dc_next through untouched)."""
+        cell, params, x, xp, mask = _setup(seed=5)
+        m = mask[..., None]
+
+        def ref_outs(xp_nobias, wh):
+            p = dict(params, wh=wh)
+
+            def body(carry, inp):
+                xp_t, m_t = inp
+                carry, out = cell.step(p, carry, xp_t, m_t)
+                return carry, out
+
+            _, outs = jax.lax.scan(
+                body, cell.init_carry(xp_nobias.shape[1]), (xp_nobias, m)
+            )
+            return outs
+
+        xp_nobias = cell.input_proj(params, x)
+        h_pal = pallas_lstm(xp, m, params["wh"], cell.hidden,
+                            interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(h_pal), np.asarray(ref_outs(xp_nobias, params["wh"])),
+            rtol=1e-5, atol=1e-5,
+        )
+        g_pal = jax.grad(
+            lambda xp, wh: jnp.sum(
+                pallas_lstm(xp, m, wh, cell.hidden, interpret=True) ** 2
+            ),
+            argnums=(0, 1),
+        )(xp, params["wh"])
+        g_ref = jax.grad(
+            lambda xpn, wh: jnp.sum(ref_outs(xpn, wh) ** 2),
+            argnums=(0, 1),
+        )(xp_nobias, params["wh"])
+        np.testing.assert_allclose(
+            np.asarray(g_pal[0]), np.asarray(g_ref[0]), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
+        )
+
     def test_rnn_layer_backend_integration(self, monkeypatch):
         """StackedRNN with the pallas backend (interpret mode) matches the
         scan backend, forward and backward, bidirectional."""

@@ -90,6 +90,47 @@ def test_mi_grads_match_scan(monkeypatch):
         )
 
 
+def test_mi_unmasked_loss_grads_match_held_scan():
+    """Held-frame cotangents at the kernel level (see
+    test_pallas_lstm.py): regression for the r5 review find that the
+    MI backward leaked the output-path dc term on masked frames."""
+    cell, params, x, mask = _setup(MILSTMCell, seed=3)
+    xp = cell.input_proj(params, x)
+    names = ("alpha", "beta1", "beta2", "b")
+
+    def pal(xp_in, wh):
+        return pallas_mi_lstm(
+            xp_in, mask, wh, *[params[k] for k in names], cell.hidden,
+            interpret=True,
+        )
+
+    def ref(xp_in, wh):
+        p = dict(params, wh=wh)
+
+        def body(carry, inp):
+            xp_t, m_t = inp
+            carry, out = cell.step(p, carry, xp_t, m_t)
+            return carry, out
+
+        _, outs = jax.lax.scan(
+            body, cell.init_carry(xp_in.shape[1]), (xp_in, mask)
+        )
+        return outs
+
+    np.testing.assert_allclose(
+        np.asarray(pal(xp, params["wh"])),
+        np.asarray(ref(xp, params["wh"])), rtol=1e-5, atol=1e-5,
+    )
+    g_pal = jax.grad(lambda a, w: jnp.sum(pal(a, w) ** 2),
+                     argnums=(0, 1))(xp, params["wh"])
+    g_ref = jax.grad(lambda a, w: jnp.sum(ref(a, w) ** 2),
+                     argnums=(0, 1))(xp, params["wh"])
+    for a, c in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_mi_backend_integration_padded_width(monkeypatch):
     """mi_blstm with H=100 (non-128-aligned) through the model zoo: the
     pallas backend pads gate blocks internally and must match scan."""
