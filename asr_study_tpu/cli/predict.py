@@ -280,9 +280,10 @@ def main(argv=None) -> int:
     if args.lm:
         if args.beam_width <= 0:
             raise SystemExit("--lm requires --beam_width > 0")
-        from asr_study_tpu.text.lm import CharNGramLM
+        from asr_study_tpu.text.lm import CharNGramLM, check_lm_vocab
 
         lm = CharNGramLM.load(args.lm)
+        check_lm_vocab(lm, label_parser.vocab)
 
     if args.stream:
         if args.on_device:

@@ -286,12 +286,18 @@ def main(argv=None) -> int:
         import dataclasses
 
         src = CheckpointManager(args.init_from)
+        # prefer the best checkpoint, fall back to latest LOUDLY (the
+        # source run may have trained without a validation metric)
+        use_best = src.best_step is not None
         state = dataclasses.replace(
-            state, params=src.restore_params(state.params, best=True)
+            state, params=src.restore_params(state.params, best=use_best)
         )
         src.close()
-        print(f"warm-started weights from {args.init_from}",
-              file=sys.stderr)
+        print(
+            f"warm-started weights from {args.init_from} "
+            f"({'best' if use_best else 'latest'} checkpoint)",
+            file=sys.stderr,
+        )
     ckpt = CheckpointManager(args.save, best_metric=args.monitor)
     if args.resume:
         if ckpt.latest_step is not None:

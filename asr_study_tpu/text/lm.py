@@ -113,6 +113,22 @@ class CharNGramLM:
                        meta.get("vocab", ""))
 
 
+def check_lm_vocab(lm: "CharNGramLM", parser_vocab: str) -> None:
+    """Fail loudly when the LM's stored alphabet differs from the run's.
+
+    ops/beam.py can only validate table SIZES; a same-size LM fit on a
+    different vocabulary (or a different ordering) would silently look
+    up every character's score under the wrong id and quietly degrade
+    CER.  LMs saved before the vocab field existed ('' sentinel) pass —
+    there is nothing to compare."""
+    if lm.vocab and lm.vocab != parser_vocab:
+        raise SystemExit(
+            f"--lm alphabet mismatch: the LM was fit on vocab "
+            f"{lm.vocab!r} but this run decodes with {parser_vocab!r}; "
+            "refit the LM on this run's dataset (extras/train_lm.py)"
+        )
+
+
 def fit_ngram_lm(
     seqs: Iterable[Sequence[int]],
     order: int,

@@ -153,8 +153,16 @@ class CheckpointManager:
         (``train.py --init_from``).  Shapes must match exactly."""
         mgr = self._mgr
         if step is None:
-            if best and self.best_step is not None:
+            if best:
+                # loud like restore(): an empty best store (run trained
+                # without val metrics) must not silently hand back the
+                # LATEST weights as if they were the best ones
                 step = self.best_step
+                if step is None:
+                    raise FileNotFoundError(
+                        f"no BEST checkpoint under {self.directory} (was "
+                        "the run trained without a validation metric?)"
+                    )
                 mgr = self._best_mgr or self._mgr
             else:
                 step = self.latest_step

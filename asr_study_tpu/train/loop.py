@@ -68,6 +68,8 @@ def fit(
     step = int(state.step)
     first_epoch_ordered = sortagrad and step == 0
     t_last = time.time()
+    last_log_step = step
+    trace_open = False
     best_val = float("inf")
     stale_epochs = 0
 
@@ -87,21 +89,26 @@ def fit(
 
     def consume_log(pending):
         """Pooled fetch of a LOG step's metrics (issued >=1 step late)."""
-        nonlocal t_last
+        nonlocal t_last, last_log_step
         p_step, p_metrics, p_epoch = pending
         loss = float(p_metrics["loss"])
         now = time.time()
+        # actual steps since the last log row — NOT log_every: the
+        # epoch-end flush covers a partial window (r5 review: assuming
+        # log_every inflated those rows up to log_every/partial ×)
+        n_steps = max(p_step - last_log_step, 1)
         writer.write(
             p_step,
             {
                 "epoch": p_epoch,
                 "loss": loss,
                 "grad_norm": float(p_metrics["grad_norm"]),
-                "steps_per_s": log_every / max(now - t_last, 1e-9),
+                "steps_per_s": n_steps / max(now - t_last, 1e-9),
             },
             echo=True,
         )
         t_last = now
+        last_log_step = p_step
 
     for epoch in range(epochs):
         ep_acc = (jnp.zeros(()), jnp.zeros(()))
@@ -117,14 +124,19 @@ def fit(
         for batch in batches:
             if profile and log_dir and step == profile_steps[0]:
                 jax.profiler.start_trace(f"{log_dir}/trace")
+                trace_open = True
             state, metrics = trainer.train_step(
                 state, batch.inputs, batch.input_lengths, batch.labels,
                 batch.label_lengths, batch.weights, rng,
             )
             step += 1
-            if profile and log_dir and step == profile_steps[1]:
-                jax.block_until_ready(metrics["loss"])
+            if trace_open and step == profile_steps[1]:
+                # FETCH, not block_until_ready — the latter is a no-op
+                # on the tunnel backend (CLAUDE.md), which would stop
+                # the trace while the profiled steps still execute
+                float(metrics["loss"])
                 jax.profiler.stop_trace()
+                trace_open = False
             ep_acc = _acc(ep_acc, metrics["loss"], batch.weights.sum())
             if step % log_every == 0:
                 if pending is not None:
@@ -163,6 +175,10 @@ def fit(
                         file=sys.stderr,
                     )
                     break
+    if trace_open:
+        # training ended inside the profile window (short run, early
+        # stop): finalize the trace rather than leaving it open/corrupt
+        jax.profiler.stop_trace()
     if ckpt is not None:
         ckpt.wait()
     writer.close()

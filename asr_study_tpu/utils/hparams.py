@@ -20,6 +20,12 @@ def _coerce(value: str, like: Any) -> Any:
         return float(value)
     if isinstance(like, (list, tuple)):
         parsed = json.loads(value) if value.startswith("[") else value.split(";")
+        # the ';'-split spelling yields strings — coerce each element to
+        # the default's element type like the scalar paths do (a default
+        # of [512, 512] overridden with "256;256" must not become
+        # ["256", "256"])
+        if like and all(isinstance(x, str) for x in parsed):
+            parsed = [_coerce(x, like[0]) for x in parsed]
         return type(like)(parsed)
     return value
 

@@ -37,6 +37,24 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """Library missing or older than its source — rebuild BEFORE dlopen.
+
+    Staleness is decided by mtime, never by loading and probing symbols:
+    dlopen caches handles by path, so the old load->rebuild->reload dance
+    handed back the SAME stale handle after `make` relinked the .so in
+    place under it (and left the live mapping's backing file rewritten —
+    UB).  The mtime check needs no handle at all (r5 review)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_m = os.path.getmtime(_LIB_PATH)
+    for f in ("asr_native.cc", "Makefile"):
+        p = os.path.join(_NATIVE_DIR, f)
+        if os.path.exists(p) and os.path.getmtime(p) > lib_m:
+            return True
+    return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Returns the native library, building it if needed; None if impossible."""
     global _lib, _tried
@@ -44,21 +62,15 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        if _stale() and not _build() and not os.path.exists(_LIB_PATH):
             return None
+        # a failed rebuild with an existing (old) library still loads:
+        # newer entry points are hasattr-guarded here and in the
+        # wrappers, so callers fall back per function
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        # the dpack symbol carries the payload-layout version: a stale
-        # library with only the v1 entry point would silently emit the
-        # old bit order, so rebuild whenever the current symbol is absent
-        if not hasattr(lib, "asr_dpack_encode_v2") and _build():
-            # stale library predating newer entry points: rebuilt — reload
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                return None
         lib.asr_read_wav.restype = ctypes.c_long
         lib.asr_read_wav.argtypes = [
             ctypes.c_char_p,

@@ -207,6 +207,14 @@ def verify(args) -> int:
     elif manifest.get("transcripts") and not args.save:
         print("note: artifact has transcripts; pass --save RUN_DIR to "
               "verify them", file=sys.stderr)
+    elif args.save and not manifest.get("transcripts"):
+        # the user asked for transcript verification, but the artifact
+        # has none pinned — an unqualified OK here would report success
+        # for a check that never ran (r5 review)
+        failures.append(
+            "--save given but the artifact pins no transcripts "
+            "(recreate it with --save to pin them)"
+        )
 
     if failures:
         for f in failures:

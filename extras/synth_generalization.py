@@ -114,8 +114,21 @@ def main(argv=None) -> int:
                         ("aug", ["--spec_augment", args.spec_augment])):
         run = os.path.join(wd, name)
         runs[name] = run
-        if not os.path.exists(os.path.join(run, "meta.json")):
-            rc = train_main(common + ["--save", run] + extra)
+        # completion = one history row per requested epoch — meta.json
+        # alone appears at the FIRST epoch's save, so an interrupted run
+        # would otherwise be treated as finished and publish numbers
+        # from an undertrained model (r5 review).  An incomplete run
+        # resumes for exactly the missing epochs.
+        mpath = os.path.join(run, "meta.json")
+        done_epochs = 0
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                done_epochs = len(json.load(f).get("history", []))
+        if done_epochs < args.epochs:
+            cont = (["--resume"] if done_epochs else []) + [
+                "--epochs", str(args.epochs - done_epochs)
+            ]
+            rc = train_main(common + ["--save", run] + extra + cont)
             assert rc == 0, f"train {name} failed"
 
     lm = os.path.join(wd, "lm.npz")
